@@ -1,0 +1,263 @@
+"""Atmospheric models: stratification, boundary conditions, angular
+quadrature.
+
+Setup-time numpy structures; the Context converts these to device arrays.
+ref: /root/reference/lightweaver/atmosphere.py (1636 LoC); this is a
+re-design focused on the 1D/2D plane-parallel cases.  Hydrostatic
+reconstruction via an EOS (Wittmann) is not yet wired in: ne and
+nHTot/hydrogenPops must be supplied.
+"""
+from dataclasses import dataclass, field
+from enum import Enum
+from pathlib import Path
+from typing import Optional, Sequence, Union
+
+import numpy as np
+from numpy.polynomial.legendre import leggauss
+
+DATA_DIR = Path(__file__).resolve().parent / 'data'
+
+
+class ScaleType(Enum):
+    Geometric = 0
+    ColumnMass = 1
+    Tau500 = 2
+
+
+class BoundaryCondition:
+    """Base class for radiation boundary conditions."""
+
+    def compute_bc(self, atmos: 'Atmosphere', spect) -> Optional[np.ndarray]:
+        """Return I_incident[Nwave, Nmu, Nspatial] or None when the
+        condition is handled analytically in the solver."""
+        return None
+
+
+class NoBc(BoundaryCondition):
+    pass
+
+
+class ZeroRadiation(BoundaryCondition):
+    pass
+
+
+class ThermalisedRadiation(BoundaryCondition):
+    pass
+
+
+class PeriodicRadiation(BoundaryCondition):
+    pass
+
+
+@dataclass
+class Stratifications:
+    cmass: np.ndarray
+    tauRef: np.ndarray
+
+
+@dataclass
+class Atmosphere:
+    """1D plane-parallel (or flattened 2D) atmosphere.
+
+    All arrays are [Nspace] with k=0 the top of the atmosphere (closest to
+    the observer).  Height decreases with k.
+    """
+    height: np.ndarray
+    temperature: np.ndarray
+    vlos: np.ndarray
+    vturb: np.ndarray
+    ne: np.ndarray
+    nHTot: np.ndarray
+    B: Optional[np.ndarray] = None
+    gammaB: Optional[np.ndarray] = None
+    chiB: Optional[np.ndarray] = None
+    lowerBc: BoundaryCondition = field(default_factory=ThermalisedRadiation)
+    upperBc: BoundaryCondition = field(default_factory=ZeroRadiation)
+    stratifications: Optional[Stratifications] = None
+    Ndim: int = 1
+
+    muz: np.ndarray = field(default=None, repr=False)
+    mux: np.ndarray = field(default=None, repr=False)
+    muy: np.ndarray = field(default=None, repr=False)
+    wmu: np.ndarray = field(default=None, repr=False)
+
+    @property
+    def Nspace(self) -> int:
+        return self.height.shape[0]
+
+    @property
+    def Nrays(self) -> int:
+        if self.muz is None:
+            raise ValueError('Angular quadrature not set: call quadrature()')
+        return self.muz.shape[0]
+
+    @property
+    def zLowerBc(self):
+        return self.lowerBc
+
+    @property
+    def zUpperBc(self):
+        return self.upperBc
+
+    @property
+    def cmass(self):
+        return self.stratifications.cmass if self.stratifications else None
+
+    @property
+    def tauRef(self):
+        return self.stratifications.tauRef if self.stratifications else None
+
+    @classmethod
+    def make_1d(cls, scale: ScaleType, depthScale: np.ndarray,
+                temperature: np.ndarray, vlos: np.ndarray,
+                vturb: np.ndarray, ne: Optional[np.ndarray] = None,
+                hydrogenPops: Optional[np.ndarray] = None,
+                nHTot: Optional[np.ndarray] = None,
+                B: Optional[np.ndarray] = None,
+                gammaB: Optional[np.ndarray] = None,
+                chiB: Optional[np.ndarray] = None,
+                lowerBc: Optional[BoundaryCondition] = None,
+                upperBc: Optional[BoundaryCondition] = None,
+                abundance=None,
+                verbose: bool = False) -> 'Atmosphere':
+        """Build a 1D atmosphere.  ne plus one of hydrogenPops/nHTot are
+        required (EOS-based estimation is not yet implemented).
+
+        ref: /root/reference/lightweaver/atmosphere.py:749-1160
+        """
+        from .atomic_table import DefaultAtomicAbundance
+        if abundance is None:
+            abundance = DefaultAtomicAbundance
+
+        depthScale = np.asarray(depthScale, dtype=np.float64)
+        temperature = np.asarray(temperature, dtype=np.float64)
+        vlos = np.asarray(vlos, dtype=np.float64)
+        vturb = np.asarray(vturb, dtype=np.float64)
+
+        if nHTot is None and hydrogenPops is not None:
+            nHTot = np.sum(hydrogenPops, axis=0)
+        if ne is None or nHTot is None:
+            raise NotImplementedError(
+                'EOS-based estimation of ne/nHTot not yet supported; '
+                'provide ne and nHTot or hydrogenPops')
+        ne = np.asarray(ne, dtype=np.float64)
+        nHTot = np.asarray(nHTot, dtype=np.float64)
+
+        if lowerBc is None:
+            lowerBc = ThermalisedRadiation()
+        if upperBc is None:
+            upperBc = ZeroRadiation()
+        if isinstance(lowerBc, PeriodicRadiation) or isinstance(upperBc, PeriodicRadiation):
+            raise ValueError('Cannot use periodic BCs on the z axis of a 1D atmosphere')
+
+        from . import constants as Const
+        rho = Const.Amu * abundance.massPerH * nHTot
+        Nspace = depthScale.shape[0]
+
+        if scale == ScaleType.Geometric:
+            height = depthScale
+            cmass = np.zeros(Nspace)
+            cmass[0] = ((nHTot[0] * abundance.massPerH + ne[0])
+                        * (Const.KBoltzmann * temperature[0] / 10 ** 2.44))
+            for k in range(1, Nspace):
+                cmass[k] = cmass[k - 1] + 0.5 * ((rho[k - 1] + rho[k])
+                                                 * (height[k - 1] - height[k]))
+        elif scale == ScaleType.ColumnMass:
+            cmass = depthScale
+            height = np.zeros(Nspace)
+            for k in range(1, Nspace):
+                height[k] = height[k - 1] - 2.0 * ((cmass[k] - cmass[k - 1])
+                                                   / (rho[k - 1] + rho[k]))
+            # Zero-point of height is arbitrary for the transfer problem;
+            # anchored roughly mid-atmosphere rather than at tau500 = 1
+            # (which would require the background EOS).
+            height -= height[Nspace // 2]
+        else:
+            raise NotImplementedError('Tau500 scale requires background '
+                                      'opacity; not yet supported')
+
+        strat = Stratifications(cmass=cmass, tauRef=np.zeros(Nspace))
+        atmos = cls(height=height, temperature=temperature, vlos=vlos,
+                    vturb=vturb, ne=np.copy(ne), nHTot=nHTot, B=B,
+                    gammaB=gammaB, chiB=chiB, lowerBc=lowerBc,
+                    upperBc=upperBc, stratifications=strat)
+        return atmos
+
+    def quadrature(self, Nrays: Optional[int] = None,
+                   mu: Optional[Sequence[float]] = None,
+                   wmu: Optional[Sequence[float]] = None):
+        """Set the angular quadrature: Gauss-Legendre on (0,1) in mu for 1D;
+        Stepan et al. (2020) near-optimal sets for 2D.
+        ref: /root/reference/lightweaver/atmosphere.py:1340-1457
+        """
+        if self.Ndim == 1:
+            if Nrays is not None and mu is None:
+                if Nrays < 1:
+                    raise ValueError(f'Unsupported Nrays={Nrays}')
+                x, w = leggauss(Nrays)
+                self.muz = 0.5 + 0.5 * x
+                self.wmu = 0.5 * w
+            elif mu is not None:
+                if wmu is None or len(mu) != len(wmu):
+                    raise ValueError('mu and wmu must both be given, same length')
+                self.muz = np.array(mu, dtype=np.float64)
+                self.wmu = np.array(wmu, dtype=np.float64)
+            else:
+                raise ValueError('Provide Nrays or (mu, wmu)')
+            self.muy = np.zeros_like(self.muz)
+            self.mux = np.sqrt(1.0 - self.muz ** 2)
+        else:
+            quads = np.load(DATA_DIR / 'quadratures_2d.npz')
+            byRays = {int(k.split('n')[1]): k for k in quads.files}
+            if Nrays not in byRays:
+                raise ValueError(f'2D Nrays must be one of {sorted(byRays)}')
+            quad = np.atleast_2d(quads[byRays[Nrays]])
+            n = quad.shape[0]
+            theta = np.deg2rad(quad[:, 1])
+            chi = np.deg2rad(quad[:, 2])
+            self.mux = np.concatenate([np.sin(theta) * np.cos(chi),
+                                       -np.sin(theta) * np.cos(chi)])
+            self.muz = np.concatenate([np.cos(theta), np.cos(theta)])
+            w = np.concatenate([quad[:, 0], quad[:, 0]])
+            self.wmu = w / np.sum(w)
+            self.muy = np.sqrt(np.maximum(
+                1.0 - (self.mux ** 2 + self.muz ** 2), 0.0))
+
+    def rays(self, muz: Union[float, Sequence[float]], wmu=None):
+        """Replace the quadrature with an explicit set of outgoing rays
+        (used for final synthesis)."""
+        if np.isscalar(muz):
+            muz = [muz]
+        self.muz = np.array(muz, dtype=np.float64)
+        self.wmu = (np.zeros_like(self.muz) if wmu is None
+                    else np.asarray(wmu, dtype=np.float64))
+        self.muy = np.zeros_like(self.muz)
+        self.mux = np.sqrt(1.0 - self.muz ** 2)
+
+    def vlos_mu(self) -> np.ndarray:
+        """Projected bulk velocity mu_z * v_z [Nrays, Nspace].
+        ref: /root/reference/Source/Atmosphere.cpp:5-45 (1D case)"""
+        return self.muz[:, None] * self.vlos[None, :]
+
+    def B_projections(self):
+        """cos(gamma), cos(2 chi), sin(2 chi) projections of the magnetic
+        field onto each ray [Nrays, Nspace] (1D: field angles relative to
+        the vertical).
+        ref: /root/reference/Source/Atmosphere.cpp:50-84"""
+        if self.B is None:
+            raise ValueError('No magnetic field present')
+        # ray direction: (mux, muy, muz); field dir from (gammaB, chiB)
+        bx = np.sin(self.gammaB) * np.cos(self.chiB)
+        by = np.sin(self.gammaB) * np.sin(self.chiB)
+        bz = np.cos(self.gammaB)
+        cosGamma = (self.mux[:, None] * bx[None, :]
+                    + self.muy[:, None] * by[None, :]
+                    + self.muz[:, None] * bz[None, :])
+        # azimuth of B around the ray
+        chi = np.arctan2(by[None, :] * self.muz[:, None]
+                         - bz[None, :] * self.muy[:, None],
+                         bz[None, :] * self.mux[:, None]
+                         - bx[None, :] * self.muz[:, None])
+        cos2chi = np.cos(2 * chi)
+        sin2chi = np.sin(2 * chi)
+        return cosGamma, cos2chi, sin2chi

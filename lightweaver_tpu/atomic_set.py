@@ -1,0 +1,350 @@
+"""Radiative set configuration: LTE populations, species state, global
+wavelength grid.
+
+ref: /root/reference/lightweaver/atomic_set.py
+"""
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Set, Tuple, Union
+
+import numpy as np
+
+from . import constants as Const
+from .atomic_model import AtomicModel
+from .atomic_table import (AtomicAbundance, DefaultAtomicAbundance, Element,
+                           PeriodicTable)
+
+
+def lte_pops(atomicModel: AtomicModel, temperature: np.ndarray,
+             ne: np.ndarray, nTotal: np.ndarray,
+             debye: bool = True) -> np.ndarray:
+    """Saha-Boltzmann LTE populations [Nlevel, Nspace] with optional Debye
+    ionisation-energy lowering.
+    ref: /root/reference/lightweaver/atomic_set.py:19-81 (vectorized here)
+    """
+    levels = atomicModel.levels
+    Nlevel = len(levels)
+    energies = np.array([l.E_SI for l in levels])
+    gs = np.array([l.g for l in levels])
+    stages = np.array([l.stage for l in levels])
+
+    c1 = (Const.HPlanck / (2.0 * np.pi * Const.MElectron)
+          * (Const.HPlanck / Const.KBoltzmann))
+
+    nDebye = np.zeros(Nlevel)
+    if debye:
+        c2 = (np.sqrt(8.0 * np.pi / Const.KBoltzmann)
+              * (Const.QElectron ** 2 / (4.0 * np.pi * Const.Epsilon0)) ** 1.5)
+        for i in range(1, Nlevel):
+            Z = stages[i]
+            for m in range(1, stages[i] - stages[0] + 1):
+                nDebye[i] += Z
+                Z += 1
+        dEion = c2 * np.sqrt(ne / temperature)           # [Nspace]
+    else:
+        dEion = np.zeros_like(ne)
+
+    dE = energies - energies[0]
+    gi0 = gs / gs[0]
+    dZ = stages - stages[0]
+
+    dE_kT = (dE[:, None] - nDebye[:, None] * dEion[None, :]) \
+        / (Const.KBoltzmann * temperature[None, :])
+    cNe_T = 0.5 * ne * (c1 / temperature) ** 1.5         # [Nspace]
+    rel = gi0[:, None] * np.exp(-dE_kT) / cNe_T[None, :] ** dZ[:, None]
+    rel[0, :] = 1.0
+    total = np.sum(rel, axis=0)
+    nStar = rel * (nTotal / total)[None, :]
+    return nStar
+
+
+def hminus_pops(atmos, hPops: np.ndarray) -> np.ndarray:
+    """H- populations from Saha against total H.
+    ref: /root/reference/lightweaver/atomic_set.py:1091-1115"""
+    CI = (Const.HPlanck / (2.0 * np.pi * Const.MElectron)
+          * (Const.HPlanck / Const.KBoltzmann))
+    PhiHmin = (0.25 * (CI / atmos.temperature) ** 1.5
+               * np.exp(Const.E_ION_HMIN
+                        / (Const.KBoltzmann * atmos.temperature)))
+    return atmos.ne * np.sum(hPops, axis=0) * PhiHmin
+
+
+@dataclass
+class AtomicState:
+    """Populations (LTE + optionally NLTE) of one species."""
+    model: AtomicModel
+    abundance: float
+    nStar: np.ndarray
+    nTotal: np.ndarray
+    detailed: bool = False
+    pops: Optional[np.ndarray] = None
+
+    @property
+    def element(self) -> Element:
+        return self.model.element
+
+    @property
+    def name(self) -> str:
+        return self.element.name
+
+    @property
+    def n(self) -> np.ndarray:
+        return self.pops if self.pops is not None else self.nStar
+
+    def update_nTotal(self, atmos):
+        self.nTotal[:] = self.abundance * atmos.nHTot
+
+
+class AtomicStateTable:
+    def __init__(self, states: List[AtomicState]):
+        self.states = sorted(states, key=lambda s: s.element)
+        self.byElement = {s.element: s for s in self.states}
+
+    def __iter__(self):
+        return iter(self.states)
+
+    def __contains__(self, key) -> bool:
+        try:
+            e = PeriodicTable.element(key)
+        except (KeyError, TypeError):
+            return False
+        return e in self.byElement
+
+    def __getitem__(self, key) -> AtomicState:
+        return self.byElement[PeriodicTable.element(key)]
+
+
+@dataclass
+class SpeciesStateTable:
+    """All population state: atomic species + H-.
+    (Molecular populations not yet supported: molecularPops empty.)"""
+    atmosphere: object
+    abundance: AtomicAbundance
+    atomicPops: AtomicStateTable
+    HminPops: np.ndarray
+
+    def __getitem__(self, name) -> np.ndarray:
+        if isinstance(name, str) and name == 'H-':
+            return self.HminPops
+        if name in self.atomicPops:
+            return self.atomicPops[name].n
+        raise LookupError(f'Species "{name}" not found')
+
+    def __contains__(self, name) -> bool:
+        return name == 'H-' or name in self.atomicPops
+
+    def update_lte_atoms_Hmin_pops(self, atmos, conserveCharge=False,
+                                   updateTotals=False, maxIter=2000,
+                                   quiet=True, tol=1e-3):
+        """Refresh LTE populations (and optionally ne) after the atmosphere
+        changed."""
+        if updateTotals:
+            for atom in self.atomicPops:
+                atom.update_nTotal(atmos)
+        for it in range(maxIter):
+            maxDiff = 0.0
+            ne = np.zeros_like(atmos.ne)
+            for atom in self.atomicPops:
+                new = lte_pops(atom.model, atmos.temperature, atmos.ne,
+                               atom.nTotal, debye=True)
+                diff = np.nanmax(np.abs(1.0 - atom.nStar / new))
+                maxDiff = max(maxDiff, diff)
+                atom.nStar[:] = new
+                if conserveCharge:
+                    stages = np.array([l.stage for l in atom.model.levels])
+                    n = atom.n if atom.pops is not None else atom.nStar
+                    ne += np.sum(n * stages[:, None], axis=0)
+            if conserveCharge:
+                atmos.ne[:] = np.maximum(ne, 1e6)
+            if maxDiff < tol:
+                break
+        else:
+            raise ValueError('No convergence in LTE update')
+        self.HminPops[:] = hminus_pops(atmos, self.atomicPops['H'].n)
+
+
+@dataclass
+class SpectrumConfiguration:
+    """Global wavelength grid and per-transition active windows."""
+    radSet: 'RadiativeSet'
+    wavelength: np.ndarray
+    models: List[AtomicModel]
+    transWavelengths: Dict[Tuple[Element, int, int], np.ndarray]
+    blueIdx: Dict[Tuple[Element, int, int], int]
+    redIdx: Dict[Tuple[Element, int, int], int]
+    activeTrans: Dict[Tuple[Element, int, int], bool]
+    activeWavelengths: Dict[Tuple[Element, int, int], np.ndarray]
+
+    @property
+    def Nspect(self) -> int:
+        return self.wavelength.shape[0]
+
+    def subset_configuration(self, wavelengths,
+                             expandLineGridsNm: float = 0.0) \
+            -> 'SpectrumConfiguration':
+        """A configuration over a subset grid where every transition is
+        active everywhere (for final synthesis / compute_rays).
+        ref: /root/reference/lightweaver/atomic_set.py:209-257"""
+        wavelengths = np.asarray(wavelengths)
+        transGrids = {}
+        blueIdx = {}
+        redIdx = {}
+        activeWl = {}
+        activeTrans = {}
+        for ident in self.transWavelengths:
+            blueIdx[ident] = 0
+            redIdx[ident] = wavelengths.shape[0]
+            transGrids[ident] = np.copy(wavelengths)
+            activeWl[ident] = np.ones_like(wavelengths, dtype=bool)
+            activeTrans[ident] = True
+        return SpectrumConfiguration(radSet=self.radSet,
+                                     wavelength=wavelengths,
+                                     models=self.models,
+                                     transWavelengths=transGrids,
+                                     blueIdx=blueIdx, redIdx=redIdx,
+                                     activeTrans=activeTrans,
+                                     activeWavelengths=activeWl)
+
+
+class RadiativeSet:
+    """Configure which atoms are active / detailed static / passive, then
+    build the wavelength grid and initial populations.
+    ref: /root/reference/lightweaver/atomic_set.py:713-1025
+    """
+
+    def __init__(self, atoms: List[AtomicModel],
+                 abundance: AtomicAbundance = DefaultAtomicAbundance):
+        self.abundance = abundance
+        self.elements = [a.element for a in atoms]
+        self.atoms: Dict[Element, AtomicModel] = dict(zip(self.elements, atoms))
+        if len(self.atoms) != len(atoms):
+            raise ValueError('Multiple models for the same element')
+        self.passiveSet: Set[Element] = set(self.elements)
+        self.detailedStaticSet: Set[Element] = set()
+        self.activeSet: Set[Element] = set()
+
+    def __getitem__(self, name) -> AtomicModel:
+        return self.atoms[PeriodicTable.element(name)]
+
+    def __contains__(self, name) -> bool:
+        try:
+            return PeriodicTable.element(name) in self.atoms
+        except KeyError:
+            return False
+
+    def __iter__(self):
+        return iter(self.atoms.values())
+
+    def _elems(self, args):
+        return [PeriodicTable.element(name) for name in set(args)]
+
+    def set_active(self, *args):
+        for x in self._elems(args):
+            self.activeSet.add(x)
+            self.detailedStaticSet.discard(x)
+            self.passiveSet.discard(x)
+
+    def set_detailed_static(self, *args):
+        for x in self._elems(args):
+            self.detailedStaticSet.add(x)
+            self.activeSet.discard(x)
+            self.passiveSet.discard(x)
+
+    def set_passive(self, *args):
+        for x in self._elems(args):
+            self.passiveSet.add(x)
+            self.activeSet.discard(x)
+            self.detailedStaticSet.discard(x)
+
+    def is_active(self, name) -> bool:
+        return PeriodicTable.element(name) in self.activeSet
+
+    def is_passive(self, name) -> bool:
+        return PeriodicTable.element(name) in self.passiveSet
+
+    def is_detailed(self, name) -> bool:
+        return PeriodicTable.element(name) in self.detailedStaticSet
+
+    @property
+    def activeAtoms(self) -> List[AtomicModel]:
+        return sorted((self.atoms[e] for e in self.activeSet),
+                      key=lambda a: a.element)
+
+    @property
+    def detailedAtoms(self) -> List[AtomicModel]:
+        return sorted((self.atoms[e] for e in self.detailedStaticSet),
+                      key=lambda a: a.element)
+
+    @property
+    def passiveAtoms(self) -> List[AtomicModel]:
+        return sorted((self.atoms[e] for e in self.passiveSet),
+                      key=lambda a: a.element)
+
+    def compute_eq_pops(self, atmos,
+                        nlteStartingPops: Optional[Dict] = None) \
+            -> SpeciesStateTable:
+        """Initial populations: LTE everywhere (or provided NLTE starting
+        pops for active/detailed species)."""
+        nlteStartingPops = nlteStartingPops or {}
+        states = []
+        for a in sorted(self.atoms.values(), key=lambda a: a.element):
+            ele = a.element
+            nTotal = self.abundance[ele] * atmos.nHTot
+            nStar = lte_pops(a, atmos.temperature, atmos.ne, nTotal,
+                             debye=True)
+            if ele in self.passiveSet:
+                states.append(AtomicState(model=a,
+                                          abundance=self.abundance[ele],
+                                          nStar=nStar, nTotal=nTotal))
+            else:
+                pops = (np.copy(nlteStartingPops[ele])
+                        if ele in nlteStartingPops else np.copy(nStar))
+                states.append(AtomicState(model=a,
+                                          abundance=self.abundance[ele],
+                                          nStar=nStar, nTotal=nTotal,
+                                          detailed=True, pops=pops))
+        table = AtomicStateTable(states)
+        HminPops = hminus_pops(atmos, table['H'].n)
+        return SpeciesStateTable(atmosphere=atmos, abundance=self.abundance,
+                                 atomicPops=table, HminPops=HminPops)
+
+    def compute_wavelength_grid(self, extraWavelengths=None,
+                                lambdaReference: float = 500.0) \
+            -> SpectrumConfiguration:
+        """Union grid of all active/detailed transition quadratures with
+        per-transition blue/red windows.
+        ref: /root/reference/lightweaver/atomic_set.py:1027-1088"""
+        if len(self.activeSet) == 0 and len(self.detailedStaticSet) == 0:
+            raise ValueError('Need at least one active or detailed atom')
+        extraGrids = []
+        if extraWavelengths is not None:
+            extraGrids.append(np.asarray(extraWavelengths))
+        extraGrids.append(np.array([lambdaReference]))
+
+        models: List[AtomicModel] = []
+        ids = []
+        grids = []
+        for ele in sorted(self.activeSet | self.detailedStaticSet):
+            atom = self.atoms[ele]
+            models.append(atom)
+            for trans in atom.transitions:
+                grids.append(trans.wavelength())
+                ids.append(trans.transId)
+
+        grid = np.unique(np.concatenate(grids + extraGrids))
+        blueIdx = {}
+        redIdx = {}
+        transGrids = {}
+        for ident, g in zip(ids, grids):
+            blueIdx[ident] = int(np.searchsorted(grid, g[0]))
+            redIdx[ident] = int(np.searchsorted(grid, g[-1]) + 1)
+            transGrids[ident] = np.copy(grid[blueIdx[ident]:redIdx[ident]])
+
+        activeWavelengths = {k: ((grid >= v[0]) & (grid <= v[-1]))
+                             for k, v in transGrids.items()}
+        activeTrans = {k: True for k in transGrids}
+        return SpectrumConfiguration(radSet=self, wavelength=grid,
+                                     models=models,
+                                     transWavelengths=transGrids,
+                                     blueIdx=blueIdx, redIdx=redIdx,
+                                     activeTrans=activeTrans,
+                                     activeWavelengths=activeWavelengths)

@@ -121,3 +121,40 @@ if __name__ == '__main__':
     extract_kurucz_pf()
     extract_quadratures()
     extract_barklem()
+
+
+def extract_falc():
+    """Pull the FAL-C (Fontenla et al. 1993) model tables out of the
+    reference's fal.py source (pure data: cmass, T, ne, vturb, nh)."""
+    import re
+    src = (Path('/root/reference/lightweaver/fal.py')).read_text()
+    ns = {'np': np}
+    for name in ['cmass', 'temp', 'ne', 'vturb', 'nh']:
+        m = re.search(rf'^{name} = ', src, re.M)
+        start = m.end()
+        depth, i = 0, start
+        while True:
+            c = src[i]
+            if c in '([':
+                depth += 1
+            elif c in ')]':
+                depth -= 1
+                if depth == 0:
+                    j = i + 1
+                    while j < len(src) and src[j] in '.T)':
+                        j += 1
+                    i = j
+                    break
+            i += 1
+        ns[name] = eval(src[start:i], ns)  # noqa: S307 - data extraction
+    np.savez_compressed(OUT / 'falc82.npz',
+                        cmass_log_cgs=np.log10(ns['cmass']),
+                        temperature=ns['temp'],
+                        ne_cgs=ns['ne'],
+                        vturb_kms=ns['vturb'],
+                        nh_cgs=ns['nh'])
+    print('falc82:', ns['temp'].shape, 'nh', ns['nh'].shape)
+
+
+if __name__ == '__main__':
+    extract_falc()
