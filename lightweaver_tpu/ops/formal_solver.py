@@ -72,7 +72,9 @@ def bezier3_coeffs(dt):
     small = dt < 5e-2
     big = dt > 30.0
 
-    # Guard divisions/exp in unselected branches.
+    # Guard divisions/exp in unselected branches: the mid branch needs dt
+    # clipped into [5e-2, 30]; the asymptotic branch must use the TRUE dt
+    # (only guarded against division by zero from below).
     dt_m = jnp.clip(dt, 5e-2, 30.0)
     dt2_m = dt_m * dt_m
     dt3_m = dt2_m * dt_m
@@ -84,10 +86,13 @@ def bezier3_coeffs(dt):
     d_small = 0.25 * dt - 0.1 * dt2 + 0.025 * dt3
     e_small = 1.0 - dt + 0.5 * dt2 - dt3 / 6.0
 
-    a_big = 6.0 / dt3_m
-    b_big = (-6.0 + 6.0 * dt_m - 3.0 * dt2_m + dt3_m) / dt3_m
-    g_big = 3.0 * (2.0 * dt_m - 6.0) / dt3_m
-    d_big = 3.0 * (6.0 - 4.0 * dt_m + dt2_m) / dt3_m
+    dt_b = jnp.maximum(dt, 5e-2)
+    dt2_b = dt_b * dt_b
+    dt3_b = dt2_b * dt_b
+    a_big = 6.0 / dt3_b
+    b_big = (-6.0 + 6.0 * dt_b - 3.0 * dt2_b + dt3_b) / dt3_b
+    g_big = 3.0 * (2.0 * dt_b - 6.0) / dt3_b
+    d_big = 3.0 * (6.0 - 4.0 * dt_b + dt2_b) / dt3_b
     e_big = jnp.zeros_like(dt)
 
     a_mid = (6.0 - edt_m * (6.0 + 6.0 * dt_m + 3.0 * dt2_m + dt3_m)) / dt3_m
