@@ -18,6 +18,10 @@ TPU-native re-design of the reference's intensity core
   analysis: per-level chi/U accumulators (ref Atom::chi/U) are evaluated
   per transition window as sign-weighted sums of the overlapping
   transitions' contributions.
+- The whole iteration is a pure function of a `params` pytree (pops, J,
+  profiles, background, thermodynamics), so the same traced program can
+  be vmapped over an axis of independent columns (1.5D synthesis) and
+  sharded over a device mesh.
 """
 from dataclasses import dataclass, field
 from functools import partial
@@ -99,6 +103,271 @@ def _overlap_slices(t: TransStatic, t2: TransStatic):
                                                     hi - t2.Nblue)
 
 
+@dataclass
+class IterConfig:
+    """Static configuration captured by the traced iteration function."""
+    activeAtoms: List[AtomStatic]
+    detailedAtoms: List[AtomStatic]
+    Nlam: int
+    Nmu: int
+    Nk: int
+    lowerThermalised: bool
+    upperThermalised: bool
+    formalSolver: str
+    recurrenceMode: str
+    dtype: object
+    wavelength: np.ndarray      # trace-time constant [Nlam]
+    muz: np.ndarray             # [Nmu]
+    wmu: np.ndarray             # [Nmu]
+
+
+def _uv(cfg: IterConfig, params, ai: int, ti: int, t: TransStatic):
+    """Uji, Vij, Vji for one transition over its window.
+    Lines: [W, Nmu, 2, Nk]; continua: [W, 1, 1, Nk].
+    ref: /root/reference/Source/LwTransition.hpp:93-144"""
+    dt = cfg.dtype
+    lam = jnp.asarray(t.wavelength, dt)
+    if t.isLine:
+        phi = params['phi'][ai][ti]
+        hnu_4pi = Const.HC_FOURPI * (t.lambda0 / lam)
+        Vij = hnu_4pi[:, None, None, None] * t.Bij * phi
+        Vji = (t.Bji / t.Bij) * Vij
+        Uji = (t.Aji / t.Bji) * Vji
+    else:
+        nStar = params['nStar'][ai]
+        hc_kl = Const.HC_K / lam                        # [W]
+        gij = (nStar[t.i][None, :] / nStar[t.j][None, :]
+               * jnp.exp(-hc_kl[:, None] / params['temperature'][None, :]))
+        alpha = jnp.asarray(t.alpha, dt)                # [W]
+        Vij = jnp.broadcast_to(alpha[:, None], gij.shape)[:, None, None, :]
+        Vji = (gij * alpha[:, None])[:, None, None, :]
+        twohc = Const.TwoHC / lam ** 3
+        Uji = twohc[:, None, None, None] * Vji
+    return Uji, Vij, Vji
+
+
+def _wla(cfg: IterConfig, params, ai: int, ti: int, t: TransStatic):
+    """Integration weight wla [W, Nk] (without the 0.5 wmu factor).
+    ref: /root/reference/Source/LwAtom.hpp:82-128"""
+    dt = cfg.dtype
+    wla = jnp.asarray(t.wlambda, dt)
+    if t.isLine:
+        wphi = params['wphi'][ai][ti]
+        return wla[:, None] * wphi[None, :] * Const.FOURPI_HC
+    lam = jnp.asarray(t.wavelength, dt)
+    w = (wla / lam) * Const.FOURPI_H
+    return jnp.broadcast_to(w[:, None], (t.W, cfg.Nk))
+
+
+def build_iteration_fn(cfg: IterConfig):
+    """The full MALI step as a pure function of the params pytree.
+
+    params = {
+      'J': [Nlam, Nk], 'bgChi'/'bgEta'/'bgSca': [Nlam, Nk],
+      'temperature'/'height': [Nk],
+      'pops'/'nStar': per active atom [Nlevel, Nk],
+      'detPops'/'detNStar': per detailed atom,
+      'GammaIn': per active atom [Nl, Nl, Nk] (collisional part),
+      'phi': nested [atom][trans] -> [W, Nmu, 2, Nk] or None,
+      'wphi': nested [atom][trans] -> [Nk] or None,
+    }
+    Returns (Gamma, Rij, Rji, Jnew, Iout, dJ, I, Psi).
+    """
+    Nlam, Nmu, Nk = cfg.Nlam, cfg.Nmu, cfg.Nk
+    dt = cfg.dtype
+    allAtoms = cfg.activeAtoms + cfg.detailedAtoms
+    muz = jnp.asarray(cfg.muz, dt)
+    wmu = jnp.asarray(cfg.wmu, dt)
+    lamGrid = jnp.asarray(cfg.wavelength, dt)
+
+    def gather(params):
+        chiTot = jnp.broadcast_to(params['bgChi'][:, None, None, :],
+                                  (Nlam, Nmu, 2, Nk))
+        etaTot = jnp.broadcast_to(params['bgEta'][:, None, None, :],
+                                  (Nlam, Nmu, 2, Nk))
+        chiT, etaT, UjiT = [], [], []
+        for ai, a in enumerate(allAtoms):
+            n = params['allPops'][ai]
+            chiA, etaA, UjiA = [], [], []
+            for ti, t in enumerate(a.trans):
+                Uji, Vij, Vji = _uv(cfg, params, ai, ti, t)
+                chi_t = n[t.i] * Vij - n[t.j] * Vji
+                eta_t = n[t.j] * Uji
+                sl = slice(t.Nblue, t.Nred)
+                chiTot = chiTot.at[sl].add(
+                    jnp.broadcast_to(chi_t, (t.W, Nmu, 2, Nk)))
+                etaTot = etaTot.at[sl].add(
+                    jnp.broadcast_to(eta_t, (t.W, Nmu, 2, Nk)))
+                chiA.append(chi_t)
+                etaA.append(eta_t)
+                UjiA.append(Uji)
+            chiT.append(chiA)
+            etaT.append(etaA)
+            UjiT.append(UjiA)
+        return chiTot, etaTot, chiT, etaT, UjiT
+
+    def formal_solve(params, chiTot, S):
+        T = params['temperature']
+        height = params['height']
+        muzB = jnp.broadcast_to(muz[None, :], (Nlam, Nmu)).reshape(-1)
+
+        # down sweep (toObs=False, d=0): upper BC
+        chiD = chiTot[:, :, 0].reshape(-1, Nk)
+        SD = S[:, :, 0].reshape(-1, Nk)
+        if cfg.upperThermalised:
+            Bnu0 = planck_nu(T[0], lamGrid)
+            Bnu1 = planck_nu(T[1], lamGrid)
+            dtau = (0.5 * (chiTot[:, :, 0, 0] + chiTot[:, :, 0, 1])
+                    * jnp.abs(height[0] - height[1]) / muz[None, :])
+            Iupw_d = (Bnu0[:, None]
+                      - (Bnu1[:, None] - Bnu0[:, None]) / dtau).reshape(-1)
+        else:
+            Iupw_d = jnp.zeros(Nlam * Nmu, dt)
+        I_d, Psi_d = formal_sol_1d(chiD, SD, height, muzB, Iupw_d,
+                                   to_obs=False, method=cfg.formalSolver,
+                                   mode=cfg.recurrenceMode)
+
+        # up sweep (toObs=True, d=1): lower BC
+        chiU = chiTot[:, :, 1].reshape(-1, Nk)
+        SU = S[:, :, 1].reshape(-1, Nk)
+        if cfg.lowerThermalised:
+            BnuN = planck_nu(T[Nk - 1], lamGrid)
+            BnuN1 = planck_nu(T[Nk - 2], lamGrid)
+            dtau = (0.5 * (chiTot[:, :, 1, Nk - 1] + chiTot[:, :, 1, Nk - 2])
+                    * jnp.abs(height[Nk - 1] - height[Nk - 2])
+                    / muz[None, :])
+            Iupw_u = (BnuN[:, None]
+                      - (BnuN1[:, None] - BnuN[:, None]) / dtau).reshape(-1)
+        else:
+            Iupw_u = jnp.zeros(Nlam * Nmu, dt)
+        I_u, Psi_u = formal_sol_1d(chiU, SU, height, muzB, Iupw_u,
+                                   to_obs=True, method=cfg.formalSolver,
+                                   mode=cfg.recurrenceMode)
+
+        I = jnp.stack([I_d.reshape(Nlam, Nmu, Nk),
+                       I_u.reshape(Nlam, Nmu, Nk)], axis=2)
+        Psi = jnp.stack([Psi_d.reshape(Nlam, Nmu, Nk),
+                         Psi_u.reshape(Nlam, Nmu, Nk)], axis=2)
+        return I, Psi
+
+    def level_sum_on_window(arrs, a: AtomStatic, t: TransStatic, items,
+                            signed):
+        out = jnp.zeros((t.W, Nmu, 2, Nk), dt)
+        for item in items:
+            if signed:
+                t2i, sign = item
+            else:
+                t2i, sign = item, 1
+            t2 = a.trans[t2i]
+            sls = _overlap_slices(t, t2)
+            if sls is None:
+                continue
+            dstSl, srcSl = sls
+            contrib = jnp.broadcast_to(
+                arrs[t2i][srcSl], (srcSl.stop - srcSl.start, Nmu, 2, Nk))
+            out = out.at[dstSl].add(sign * contrib)
+        return out
+
+    def iteration(params, lambdaIterate=False):
+        params = dict(params)
+        params['allPops'] = list(params['pops']) + list(params['detPops'])
+        allNStar = list(params['nStar']) + list(params['detNStar'])
+        params['nStar'] = allNStar
+        Jdag = params['J']
+
+        chiTot, etaTot, chiT, etaT, UjiT = gather(params)
+        S = ((etaTot
+              + params['bgSca'][:, None, None, :] * Jdag[:, None, None, :])
+             / chiTot)
+        I, Psi = formal_solve(params, chiTot, S)
+        if lambdaIterate:
+            Psi = jnp.zeros_like(Psi)
+
+        Jnew = jnp.einsum('lmdk,m->lk', I, 0.5 * wmu)
+        dJ = jnp.max(jnp.abs(1.0 - jnp.where(Jnew != 0.0, Jdag / Jnew, 1.0)))
+
+        GammaOut, RijOut, RjiOut = [], [], []
+        for ai, a in enumerate(cfg.activeAtoms):
+            Gamma = params['GammaIn'][ai]
+            etaAtom = jnp.zeros((Nlam, Nmu, 2, Nk), dt)
+            for ti, t in enumerate(a.trans):
+                etaAtom = etaAtom.at[t.Nblue:t.Nred].add(
+                    jnp.broadcast_to(etaT[ai][ti], (t.W, Nmu, 2, Nk)))
+            Ieff = I - Psi * etaAtom
+
+            Rij, Rji = [], []
+            for ti, t in enumerate(a.trans):
+                sl = slice(t.Nblue, t.Nred)
+                Uji, Vij, Vji = _uv(cfg, params, ai, ti, t)
+                wla = _wla(cfg, params, ai, ti, t)         # [W, Nk]
+                Ieff_w = Ieff[sl]
+                Psi_w = Psi[sl]
+                I_w = I[sl]
+                chi_i = level_sum_on_window(chiT[ai], a, t,
+                                            a.chiLists[t.i], True)
+                chi_j = level_sum_on_window(chiT[ai], a, t,
+                                            a.chiLists[t.j], True)
+                U_i = level_sum_on_window(UjiT[ai], a, t,
+                                          a.ULists[t.i], False)
+                U_j = level_sum_on_window(UjiT[ai], a, t,
+                                          a.ULists[t.j], False)
+                wmu2 = 0.5 * wmu
+                integ_ij = (Uji + Vji * Ieff_w) - Psi_w * chi_i * U_j
+                integ_ji = (Vij * Ieff_w) - Psi_w * chi_j * U_i
+                Gij = jnp.einsum('lmdk,lk,m->k', integ_ij, wla, wmu2)
+                Gji = jnp.einsum('lmdk,lk,m->k', integ_ji, wla, wmu2)
+                Gamma = Gamma.at[t.i, t.j].add(Gij)
+                Gamma = Gamma.at[t.j, t.i].add(Gji)
+                Rij.append(jnp.einsum('lmdk,lk,m->k', I_w * Vij, wla, wmu2))
+                Rji.append(jnp.einsum('lmdk,lk,m->k', Uji + I_w * Vji, wla,
+                                      wmu2))
+
+            # finalise: diagonal = -column sums of off-diagonals
+            eye = jnp.eye(a.Nlevel, dtype=dt)[:, :, None]
+            Gamma = Gamma * (1.0 - eye)
+            colSum = jnp.sum(Gamma, axis=0)
+            Gamma = Gamma - eye * colSum[None, :, :]
+            GammaOut.append(Gamma)
+            RijOut.append(Rij)
+            RjiOut.append(Rji)
+
+        Iout = I[:, :, 1, 0]        # emergent (upgoing, top)
+        return {'Gamma': GammaOut, 'Rij': RijOut, 'Rji': RjiOut,
+                'J': Jnew, 'I': Iout, 'dJ': dJ}
+
+    return iteration
+
+
+@partial(jax.jit)
+def _stat_eq_solve(Gamma, n, nTotal):
+    """Batched-over-depth statistical equilibrium: replace the row of the
+    largest population with particle conservation and solve.
+    ref: /root/reference/Source/UpdatePopulations.cpp:7-47"""
+    Nl = Gamma.shape[0]
+    iElim = jnp.argmax(n, axis=0)                       # [Nk]
+    rowMask = (jnp.arange(Nl)[:, None] == iElim[None, :])   # [Nl, Nk]
+    G = jnp.where(rowMask[:, None, :], 1.0, Gamma)      # [Nl, Nl, Nk]
+    rhs = jnp.where(rowMask, nTotal[None, :], 0.0)      # [Nl, Nk]
+    Gb = jnp.moveaxis(G, -1, 0)                         # [Nk, Nl, Nl]
+    rb = jnp.moveaxis(rhs, -1, 0)[..., None]            # [Nk, Nl, 1]
+    sol = jnp.linalg.solve(Gb, rb)[..., 0]              # [Nk, Nl]
+    return jnp.moveaxis(sol, 0, -1)
+
+
+@partial(jax.jit, static_argnames=('theta',))
+def _time_dep_solve(Gamma, nOld, dt, theta=1.0):
+    """Fully-implicit (backward-Euler) time-dependent population update:
+    solve (I - theta dt Gamma) n_new = n_old.
+    ref: /root/reference/Source/UpdatePopulations.cpp:120-151"""
+    Nl = Gamma.shape[0]
+    eye = jnp.eye(Nl, dtype=Gamma.dtype)[:, :, None]
+    M = eye - theta * dt * Gamma
+    Mb = jnp.moveaxis(M, -1, 0)
+    rb = jnp.moveaxis(nOld, -1, 0)[..., None]
+    sol = jnp.linalg.solve(Mb, rb)[..., 0]
+    return jnp.moveaxis(sol, 0, -1)
+
+
 class Context:
     """NLTE radiative transfer context over a single atmosphere.
 
@@ -112,80 +381,90 @@ class Context:
                  formalSolver: str = 'piecewise_bezier3_1d',
                  recurrenceMode: str = 'scan',
                  backgroundProvider=None,
-                 detailedAtomPops: Optional[Dict] = None,
                  crswCallback=None,
-                 dtype=jnp.float64):
+                 dtype=None):
         self.atmos = atmos
         self.spect = spect
         self.eqPops = eqPops
         self.conserveCharge = conserveCharge
-        self.formalSolver = formalSolver
-        self.recurrenceMode = recurrenceMode
-        self.dtype = dtype
         self.crswCallback = crswCallback
         self.crswDone = crswCallback is None
+        if dtype is None:
+            dtype = (jnp.float64 if jax.config.read('jax_enable_x64')
+                     else jnp.float32)
+        self.dtype = dtype
         radSet = spect.radSet
 
         if atmos.muz is None:
             raise ValueError('Atmosphere angular quadrature not set')
 
-        # --- static per-atom transition metadata
-        self.activeAtoms: List[AtomStatic] = []
-        self.detailedAtoms: List[AtomStatic] = []
-        for model in sorted(radSet.activeAtoms, key=lambda a: a.element):
-            self.activeAtoms.append(self._build_atom_static(model, False))
-        for model in sorted(radSet.detailedAtoms, key=lambda a: a.element):
-            self.detailedAtoms.append(self._build_atom_static(model, True))
+        activeAtoms = [self._build_atom_static(m, False)
+                       for m in sorted(radSet.activeAtoms,
+                                       key=lambda a: a.element)]
+        detailedAtoms = [self._build_atom_static(m, True)
+                         for m in sorted(radSet.detailedAtoms,
+                                         key=lambda a: a.element)]
 
-        # --- background
+        self.cfg = IterConfig(
+            activeAtoms=activeAtoms, detailedAtoms=detailedAtoms,
+            Nlam=spect.Nspect, Nmu=atmos.Nrays, Nk=atmos.Nspace,
+            lowerThermalised=isinstance(atmos.lowerBc, ThermalisedRadiation),
+            upperThermalised=isinstance(atmos.upperBc, ThermalisedRadiation),
+            formalSolver=formalSolver, recurrenceMode=recurrenceMode,
+            dtype=dtype, wavelength=np.asarray(spect.wavelength),
+            muz=np.asarray(atmos.muz), wmu=np.asarray(atmos.wmu))
+
         if backgroundProvider is None:
             backgroundProvider = basic_background
         self.backgroundProvider = backgroundProvider
         bg = backgroundProvider(spect, atmos, eqPops, radSet)
         self.background = bg
 
-        Nlam = spect.Nspect
-        Nspace = atmos.Nspace
+        dtc = dtype
+        self.bgChi = jnp.asarray(bg.chi, dtc)
+        self.bgEta = jnp.asarray(bg.eta, dtc)
+        self.bgSca = jnp.asarray(bg.sca, dtc)
+        self.temperature = jnp.asarray(atmos.temperature, dtc)
+        self.height = jnp.asarray(atmos.height, dtc)
 
-        # --- device-side constants
-        dt = dtype
-        self.wavelength = jnp.asarray(spect.wavelength, dt)
-        self.height = jnp.asarray(atmos.height, dt)
-        self.muz = jnp.asarray(atmos.muz, dt)
-        self.wmu = jnp.asarray(atmos.wmu, dt)
-        self.temperature = jnp.asarray(atmos.temperature, dt)
-        self.bgChi = jnp.asarray(bg.chi, dt)
-        self.bgEta = jnp.asarray(bg.eta, dt)
-        self.bgSca = jnp.asarray(bg.sca, dt)
-
-        # --- dynamic state
-        self.J = jnp.zeros((Nlam, Nspace), dt)
-        self.I = jnp.zeros((Nlam, atmos.Nrays), dt)
-        self.popsState = []       # list over active atoms
-        for a in self.activeAtoms:
+        self.J = jnp.zeros((spect.Nspect, atmos.Nspace), dtc)
+        self.I = jnp.zeros((spect.Nspect, atmos.Nrays), dtc)
+        self.popsState = []
+        for a in activeAtoms:
             st = eqPops.atomicPops[a.model.element]
-            self.popsState.append({
-                'n': jnp.asarray(st.n, dt),
-                'nStar': jnp.asarray(st.nStar, dt),
-            })
+            self.popsState.append({'n': jnp.asarray(st.n, dtc),
+                                   'nStar': jnp.asarray(st.nStar, dtc)})
         self.detailedPops = []
-        for a in self.detailedAtoms:
+        for a in detailedAtoms:
             st = eqPops.atomicPops[a.model.element]
-            self.detailedPops.append({
-                'n': jnp.asarray(st.n, dt),
-                'nStar': jnp.asarray(st.nStar, dt),
-            })
+            self.detailedPops.append({'n': jnp.asarray(st.n, dtc),
+                                      'nStar': jnp.asarray(st.nStar, dtc)})
 
-        # per-atom [Nl, Nl, Nspace] collisional matrices (numpy, host)
-        self.C = [np.zeros((a.Nlevel, a.Nlevel, Nspace))
-                  for a in self.activeAtoms]
+        self.C = [np.zeros((a.Nlevel, a.Nlevel, atmos.Nspace))
+                  for a in activeAtoms]
         self.compute_collisions()
         self.compute_profiles()
 
-        self._gamma_fn = None
+        from .ops.ng import Ng, NgOptions
+        if ngOptions is None:
+            ngOptions = NgOptions(0, 0, 0)
+        self.ngs = [Ng(ngOptions.Norder, ngOptions.Nperiod, ngOptions.Ndelay,
+                       np.asarray(st['n']).ravel())
+                    for st in self.popsState]
+
+        self._iter_fn = None
         self._Gamma = None
         self._Rij = None
         self._Rji = None
+
+    # expose static atom lists like before
+    @property
+    def activeAtoms(self):
+        return self.cfg.activeAtoms
+
+    @property
+    def detailedAtoms(self):
+        return self.cfg.detailedAtoms
 
     # ------------------------------------------------------------------
     def _build_atom_static(self, model: AtomicModel, detailed: bool) \
@@ -226,24 +505,24 @@ class Context:
         atmos = self.atmos
         dt = self.dtype
         vlosMu = jnp.asarray(atmos.vlos_mu(), dt)       # [Nmu, Nk]
-        wmu = self.wmu
-        self.transState = []    # parallel to activeAtoms+detailedAtoms trans
-        for a in self.activeAtoms + self.detailedAtoms:
+        wmu = jnp.asarray(atmos.wmu, dt)
+        self.phi = []      # [atom][trans] -> [W, Nmu, 2, Nk] or None
+        self.wphi = []     # [atom][trans] -> [Nk] or None
+        for a in self.cfg.activeAtoms + self.cfg.detailedAtoms:
             vBroad = jnp.asarray(a.model.vBroad(atmos), dt)
-            entries = []
+            phiA, wphiA = [], []
             lineByIdx = {(l.i, l.j): l for l in a.model.lines}
             for t in a.trans:
                 if not t.isLine:
-                    entries.append(None)
+                    phiA.append(None)
+                    wphiA.append(None)
                     continue
                 line = lineByIdx[(t.i, t.j)]
                 aDamp, Qelast = line.damping(atmos, self.eqPops)
                 aDamp = jnp.asarray(aDamp, dt)
                 lam = jnp.asarray(t.wavelength, dt)
-                vBase = ((lam - t.lambda0) * Const.CLight
-                         / t.lambda0)                      # [W]
-                s = jnp.asarray([-1.0, 1.0], dt)           # toObs sign
-                # vk [W, Nmu, 2, Nk]
+                vBase = (lam - t.lambda0) * Const.CLight / t.lambda0   # [W]
+                s = jnp.asarray([-1.0, 1.0], dt)
                 vk = ((vBase[:, None, None, None]
                        + s[None, None, :, None] * vlosMu[None, :, None, :])
                       / vBroad[None, None, None, :])
@@ -251,238 +530,39 @@ class Context:
                        / (Const.SqrtPi * vBroad[None, None, None, :]))
                 wla = jnp.asarray(t.wlambda, dt)
                 wphi_inv = jnp.einsum('lmdk,l,m->k', phi, wla, 0.5 * wmu)
-                entries.append({'phi': phi, 'wphi': 1.0 / wphi_inv,
-                                'aDamp': aDamp, 'Qelast': jnp.asarray(Qelast, dt)})
-            self.transState.append(entries)
-        self._gamma_fn = None   # profiles changed; rebuild jit closure
+                phiA.append(phi)
+                wphiA.append(1.0 / wphi_inv)
+            self.phi.append(phiA)
+            self.wphi.append(wphiA)
 
     # ------------------------------------------------------------------
-    def compute_collisions(self):
-        for a, C in zip(self.activeAtoms, self.C):
+    def compute_collisions(self, force: bool = False):
+        """(Re)compute collisional rate matrices.  Cached: they depend only
+        on (T, ne, nStar), which change via update_deps / charge
+        conservation, not during plain MALI iteration."""
+        if not force and getattr(self, '_collisionsClean', False):
+            return
+        for a, C in zip(self.cfg.activeAtoms, self.C):
             C.fill(0.0)
             for col in a.model.collisions:
                 col.compute_rates(self.atmos, self.eqPops, C)
             np.clip(C, 0.0, None, out=C)
+        self._collisionsClean = True
 
     # ------------------------------------------------------------------
-    def _uv(self, aIdx: int, ti: int, t: TransStatic, nStar):
-        """Uji, Vij, Vji for one transition over its window.
-        Lines: [W, Nmu, 2, Nk]; continua: [W, 1, 1, Nk].
-        ref: /root/reference/Source/LwTransition.hpp:93-144"""
-        dt = self.dtype
-        lam = jnp.asarray(t.wavelength, dt)
-        if t.isLine:
-            st = self.transState[aIdx][ti]
-            hnu_4pi = Const.HC_FOURPI * (t.lambda0 / lam)
-            Vij = hnu_4pi[:, None, None, None] * t.Bij * st['phi']
-            Vji = (t.Bji / t.Bij) * Vij
-            Uji = (t.Aji / t.Bji) * Vji
-        else:
-            hc_kl = Const.HC_K / lam                        # [W]
-            gij = (nStar[t.i][None, :] / nStar[t.j][None, :]
-                   * jnp.exp(-hc_kl[:, None] / self.temperature[None, :]))
-            alpha = jnp.asarray(t.alpha, dt)                # [W]
-            Vij = jnp.broadcast_to(alpha[:, None],
-                                   gij.shape)[:, None, None, :]
-            Vji = (gij * alpha[:, None])[:, None, None, :]
-            twohc = Const.TwoHC / lam ** 3
-            Uji = twohc[:, None, None, None] * Vji
-        return Uji, Vij, Vji
-
-    def _wlamu(self, aIdx: int, ti: int, t: TransStatic):
-        """Integration weight wla [W, Nk] (without the 0.5 wmu factor).
-        ref: /root/reference/Source/LwAtom.hpp:82-128"""
-        dt = self.dtype
-        wla = jnp.asarray(t.wlambda, dt)
-        if t.isLine:
-            st = self.transState[aIdx][ti]
-            return wla[:, None] * st['wphi'][None, :] * Const.FOURPI_HC
-        lam = jnp.asarray(t.wavelength, dt)
-        w = (wla / lam) * Const.FOURPI_H
-        return jnp.broadcast_to(w[:, None], (t.W, self.atmos.Nspace))
-
-    # ------------------------------------------------------------------
-    def _build_gamma_fn(self):
-        """Build the jitted full-iteration function."""
-        atmos = self.atmos
-        Nlam = self.spect.Nspect
-        Nmu = atmos.Nrays
-        Nk = atmos.Nspace
-        dt = self.dtype
-        allAtoms = self.activeAtoms + self.detailedAtoms
-
-        lowerThermalised = isinstance(atmos.lowerBc, ThermalisedRadiation)
-        upperThermalised = isinstance(atmos.upperBc, ThermalisedRadiation)
-
-        def gather(pops, nStarList):
-            """chiTot/etaTot [Nlam, Nmu, 2, Nk] + per-(atom,trans)
-            chi/eta/Uji window arrays."""
-            chiTot = jnp.broadcast_to(self.bgChi[:, None, None, :],
-                                      (Nlam, Nmu, 2, Nk))
-            etaTot = jnp.broadcast_to(self.bgEta[:, None, None, :],
-                                      (Nlam, Nmu, 2, Nk))
-            chiT = []
-            etaT = []
-            UjiT = []
-            for ai, a in enumerate(allAtoms):
-                n = pops[ai]
-                nStar = nStarList[ai]
-                chiA, etaA, UjiA = [], [], []
-                for ti, t in enumerate(a.trans):
-                    Uji, Vij, Vji = self._uv(ai, ti, t, nStar)
-                    chi_t = n[t.i] * Vij - n[t.j] * Vji
-                    eta_t = n[t.j] * Uji
-                    sl = slice(t.Nblue, t.Nred)
-                    chiTot = chiTot.at[sl].add(
-                        jnp.broadcast_to(chi_t, (t.W, Nmu, 2, Nk)))
-                    etaTot = etaTot.at[sl].add(
-                        jnp.broadcast_to(eta_t, (t.W, Nmu, 2, Nk)))
-                    chiA.append(chi_t)
-                    etaA.append(eta_t)
-                    UjiA.append(Uji)
-                chiT.append(chiA)
-                etaT.append(etaA)
-                UjiT.append(UjiA)
-            return chiTot, etaTot, chiT, etaT, UjiT
-
-        def formal_solve(chiTot, S):
-            """Both sweep directions for all (lambda, mu).
-            Returns I, Psi [Nlam, Nmu, 2, Nk]."""
-            muzB = jnp.broadcast_to(self.muz[None, :], (Nlam, Nmu)).reshape(-1)
-            lam = self.wavelength
-
-            # down sweep (toObs=False, d=0): upper BC
-            chiD = chiTot[:, :, 0].reshape(-1, Nk)
-            SD = S[:, :, 0].reshape(-1, Nk)
-            if upperThermalised:
-                Bnu0 = planck_nu(self.temperature[0], lam)
-                Bnu1 = planck_nu(self.temperature[1], lam)
-                dtau = (0.5 * (chiTot[:, :, 0, 0] + chiTot[:, :, 0, 1])
-                        * jnp.abs(self.height[0] - self.height[1])
-                        / self.muz[None, :])
-                Iupw_d = (Bnu0[:, None] - (Bnu1[:, None] - Bnu0[:, None])
-                          / dtau).reshape(-1)
-            else:
-                Iupw_d = jnp.zeros(Nlam * Nmu, dt)
-            I_d, Psi_d = formal_sol_1d(chiD, SD, self.height, muzB, Iupw_d,
-                                       to_obs=False, method=self.formalSolver,
-                                       mode=self.recurrenceMode)
-
-            # up sweep (toObs=True, d=1): lower BC
-            chiU = chiTot[:, :, 1].reshape(-1, Nk)
-            SU = S[:, :, 1].reshape(-1, Nk)
-            if lowerThermalised:
-                BnuN = planck_nu(self.temperature[Nk - 1], lam)
-                BnuN1 = planck_nu(self.temperature[Nk - 2], lam)
-                dtau = (0.5 * (chiTot[:, :, 1, Nk - 1] + chiTot[:, :, 1, Nk - 2])
-                        * jnp.abs(self.height[Nk - 1] - self.height[Nk - 2])
-                        / self.muz[None, :])
-                Iupw_u = (BnuN[:, None] - (BnuN1[:, None] - BnuN[:, None])
-                          / dtau).reshape(-1)
-            else:
-                Iupw_u = jnp.zeros(Nlam * Nmu, dt)
-            I_u, Psi_u = formal_sol_1d(chiU, SU, self.height, muzB, Iupw_u,
-                                       to_obs=True, method=self.formalSolver,
-                                       mode=self.recurrenceMode)
-
-            I = jnp.stack([I_d.reshape(Nlam, Nmu, Nk),
-                           I_u.reshape(Nlam, Nmu, Nk)], axis=2)
-            Psi = jnp.stack([Psi_d.reshape(Nlam, Nmu, Nk),
-                             Psi_u.reshape(Nlam, Nmu, Nk)], axis=2)
-            return I, Psi
-
-        def level_sum_on_window(arrs, a: AtomStatic, t: TransStatic,
-                                items, signed):
-            """Sum per-transition window arrays (chi or U accumulators) of
-            all transitions touching a level, restricted to t's window."""
-            out = jnp.zeros((t.W, Nmu, 2, Nk), dt)
-            for item in items:
-                if signed:
-                    t2i, sign = item
-                else:
-                    t2i, sign = item, 1
-                t2 = a.trans[t2i]
-                sls = _overlap_slices(t, t2)
-                if sls is None:
-                    continue
-                dstSl, srcSl = sls
-                contrib = jnp.broadcast_to(
-                    arrs[t2i][srcSl],
-                    (srcSl.stop - srcSl.start, Nmu, 2, Nk))
-                out = out.at[dstSl].add(sign * contrib)
-            return out
-
-        def iteration(popsIn, nStarIn, detPopsIn, detNStarIn, GammaIn, Jdag,
-                      lambdaIterate):
-            pops = list(popsIn) + list(detPopsIn)
-            nStars = list(nStarIn) + list(detNStarIn)
-            chiTot, etaTot, chiT, etaT, UjiT = gather(pops, nStars)
-            S = ((etaTot
-                  + self.bgSca[:, None, None, :] * Jdag[:, None, None, :])
-                 / chiTot)
-            I, Psi = formal_solve(chiTot, S)
-            if lambdaIterate:
-                Psi = jnp.zeros_like(Psi)
-
-            Jnew = jnp.einsum('lmdk,m->lk', I, 0.5 * self.wmu)
-            dJ = jnp.max(jnp.abs(1.0 - jnp.where(Jnew != 0.0, Jdag / Jnew,
-                                                 1.0)))
-
-            GammaOut = []
-            RijOut = []
-            RjiOut = []
-            for ai, a in enumerate(self.activeAtoms):
-                nStar = nStars[ai]
-                Gamma = GammaIn[ai]
-                # eta_atom over the full grid
-                etaAtom = jnp.zeros((Nlam, Nmu, 2, Nk), dt)
-                for ti, t in enumerate(a.trans):
-                    etaAtom = etaAtom.at[t.Nblue:t.Nred].add(
-                        jnp.broadcast_to(etaT[ai][ti], (t.W, Nmu, 2, Nk)))
-                Ieff = I - Psi * etaAtom
-
-                Rij = []
-                Rji = []
-                for ti, t in enumerate(a.trans):
-                    sl = slice(t.Nblue, t.Nred)
-                    Uji, Vij, Vji = self._uv(ai, ti, t, nStar)
-                    wla = self._wlamu(ai, ti, t)           # [W, Nk]
-                    Ieff_w = Ieff[sl]
-                    Psi_w = Psi[sl]
-                    I_w = I[sl]
-                    chi_i = level_sum_on_window(chiT[ai], a, t,
-                                                a.chiLists[t.i], True)
-                    chi_j = level_sum_on_window(chiT[ai], a, t,
-                                                a.chiLists[t.j], True)
-                    U_i = level_sum_on_window(UjiT[ai], a, t,
-                                              a.ULists[t.i], False)
-                    U_j = level_sum_on_window(UjiT[ai], a, t,
-                                              a.ULists[t.j], False)
-                    wmu2 = 0.5 * self.wmu
-                    integ_ij = (Uji + Vji * Ieff_w) - Psi_w * chi_i * U_j
-                    integ_ji = (Vij * Ieff_w) - Psi_w * chi_j * U_i
-                    Gij = jnp.einsum('lmdk,lk,m->k', integ_ij, wla, wmu2)
-                    Gji = jnp.einsum('lmdk,lk,m->k', integ_ji, wla, wmu2)
-                    Gamma = Gamma.at[t.i, t.j].add(Gij)
-                    Gamma = Gamma.at[t.j, t.i].add(Gji)
-                    Rij.append(jnp.einsum('lmdk,lk,m->k', I_w * Vij, wla,
-                                          wmu2))
-                    Rji.append(jnp.einsum('lmdk,lk,m->k', Uji + I_w * Vji,
-                                          wla, wmu2))
-
-                # finalise: diagonal = -column sums of off-diagonals
-                eye = jnp.eye(a.Nlevel, dtype=dt)[:, :, None]
-                Gamma = Gamma * (1.0 - eye)
-                colSum = jnp.sum(Gamma, axis=0)
-                Gamma = Gamma - eye * colSum[None, :, :]
-                GammaOut.append(Gamma)
-                RijOut.append(Rij)
-                RjiOut.append(Rji)
-
-            Iout = I[:, :, 1, 0]        # emergent (upgoing, top)
-            return GammaOut, RijOut, RjiOut, Jnew, Iout, dJ
-
-        return jax.jit(iteration, static_argnames=('lambdaIterate',))
+    def build_params(self, crswVal: float = 1.0) -> Dict:
+        return {
+            'J': self.J,
+            'bgChi': self.bgChi, 'bgEta': self.bgEta, 'bgSca': self.bgSca,
+            'temperature': self.temperature, 'height': self.height,
+            'pops': [st['n'] for st in self.popsState],
+            'nStar': [st['nStar'] for st in self.popsState],
+            'detPops': [st['n'] for st in self.detailedPops],
+            'detNStar': [st['nStar'] for st in self.detailedPops],
+            'GammaIn': [jnp.asarray(crswVal * C, self.dtype)
+                        for C in self.C],
+            'phi': self.phi, 'wphi': self.wphi,
+        }
 
     # ------------------------------------------------------------------
     def formal_sol_gamma_matrices(self, lambdaIterate: bool = False,
@@ -491,78 +571,80 @@ class Context:
         """One full MALI step: formal solution over all wavelengths with
         Gamma-matrix and rate accumulation.
         ref: /root/reference/Source/LwMiddleLayer.pyx:3152"""
-        if self._gamma_fn is None:
-            self._gamma_fn = self._build_gamma_fn()
+        if self._iter_fn is None:
+            self._iter_fn = jax.jit(build_iteration_fn(self.cfg),
+                                    static_argnames=('lambdaIterate',))
 
         crswVal = self.crswCallback() if self.crswCallback is not None else 1.0
         self.crswDone = crswVal == 1.0
-
         self.compute_collisions()
-        GammaIn = [jnp.asarray(crswVal * C, self.dtype) for C in self.C]
-        pops = [st['n'] for st in self.popsState]
-        nStar = [st['nStar'] for st in self.popsState]
-        detPops = [st['n'] for st in self.detailedPops]
-        detNStar = [st['nStar'] for st in self.detailedPops]
-
-        Gamma, Rij, Rji, Jnew, Iout, dJ = self._gamma_fn(
-            pops, nStar, detPops, detNStar, GammaIn, self.J,
-            lambdaIterate=lambdaIterate)
-        self._Gamma = Gamma
-        self._Rij = Rij
-        self._Rji = Rji
-        self.J = Jnew
-        self.I = Iout
-
-        update = IterationUpdate(self, updatedJ=True, dJMax=float(dJ),
-                                 crsw=crswVal)
-        return update
+        out = self._iter_fn(self.build_params(crswVal),
+                            lambdaIterate=lambdaIterate)
+        self._Gamma = out['Gamma']
+        self._Rij = out['Rij']
+        self._Rji = out['Rji']
+        self.J = out['J']
+        self.I = out['I']
+        return IterationUpdate(self, updatedJ=True, dJMax=float(out['dJ']),
+                               crsw=crswVal)
 
     # ------------------------------------------------------------------
     def stat_equil(self) -> IterationUpdate:
-        """Statistical equilibrium solve for each active atom.
-        ref: /root/reference/Source/UpdatePopulations.cpp:7-47"""
+        """Statistical equilibrium solve for each active atom."""
         if self._Gamma is None:
             raise ValueError('Call formal_sol_gamma_matrices first')
         dPops = []
-        for ai, a in enumerate(self.activeAtoms):
+        accelerated = False
+        for ai, a in enumerate(self.cfg.activeAtoms):
             st = self.popsState[ai]
             n = st['n']
             nTotal = jnp.asarray(
                 self.eqPops.atomicPops[a.model.element].nTotal, self.dtype)
             nNew = _stat_eq_solve(self._Gamma[ai], n, nTotal)
-            dPops.append(float(jnp.max(jnp.abs(1.0 - n / nNew))))
+            accel, sol = self.ngs[ai].accelerate(np.asarray(nNew))
+            if accel:
+                nNew = jnp.asarray(sol.reshape(nNew.shape), self.dtype)
+                accelerated = True
+            dPops.append(self.ngs[ai].max_change())
             st['n'] = nNew
-        update = IterationUpdate(self, updatedPops=True, dPops=dPops)
-        return update
+        return IterationUpdate(self, updatedPops=True, dPops=dPops,
+                               ngAccelerated=accelerated)
+
+    # ------------------------------------------------------------------
+    def time_dep_update(self, dt: float, prevTimePops=None) \
+            -> Tuple[IterationUpdate, List]:
+        """Backward-Euler time-dependent population update."""
+        if self._Gamma is None:
+            raise ValueError('Call formal_sol_gamma_matrices first')
+        if prevTimePops is None:
+            prevTimePops = [st['n'] for st in self.popsState]
+        dPops = []
+        for ai, a in enumerate(self.cfg.activeAtoms):
+            st = self.popsState[ai]
+            nNew = _time_dep_solve(self._Gamma[ai], prevTimePops[ai],
+                                   jnp.asarray(dt, self.dtype))
+            dPops.append(float(jnp.max(jnp.abs(1.0 - st['n'] / nNew))))
+            st['n'] = nNew
+        upd = IterationUpdate(self, updatedPops=True, dPops=dPops)
+        return upd, prevTimePops
+
+    def time_dep_restore_prev_pops(self, prevTimePops):
+        for ai, nOld in enumerate(prevTimePops):
+            self.popsState[ai]['n'] = nOld
 
     # ------------------------------------------------------------------
     def formal_sol(self, upOnly: bool = True):
-        """Plain formal solution (no operator/rates), updating I (and J)."""
-        upd = self.formal_sol_gamma_matrices(lambdaIterate=True)
-        return upd
+        """Plain formal solution (no operator/rates), updating I and J."""
+        return self.formal_sol_gamma_matrices(lambdaIterate=True)
 
-    # convenience accessors ------------------------------------------------
+    # convenience accessors --------------------------------------------
     @property
     def activePops(self):
         return {a.model.element.name: np.asarray(st['n'])
-                for a, st in zip(self.activeAtoms, self.popsState)}
+                for a, st in zip(self.cfg.activeAtoms, self.popsState)}
 
     def sync_pops_to_eqPops(self):
-        for a, st in zip(self.activeAtoms, self.popsState):
+        for a, st in zip(self.cfg.activeAtoms, self.popsState):
             state = self.eqPops.atomicPops[a.model.element]
-            state.pops[:] = np.asarray(st['n'])
-
-
-@partial(jax.jit)
-def _stat_eq_solve(Gamma, n, nTotal):
-    """Batched-over-depth statistical equilibrium: replace the row of the
-    largest population with particle conservation and solve."""
-    Nl = Gamma.shape[0]
-    iElim = jnp.argmax(n, axis=0)                       # [Nk]
-    rowMask = (jnp.arange(Nl)[:, None] == iElim[None, :])   # [Nl, Nk]
-    G = jnp.where(rowMask[:, None, :], 1.0, Gamma)      # [Nl, Nl, Nk]
-    rhs = jnp.where(rowMask, nTotal[None, :], 0.0)      # [Nl, Nk]
-    Gb = jnp.moveaxis(G, -1, 0)                         # [Nk, Nl, Nl]
-    rb = jnp.moveaxis(rhs, -1, 0)[..., None]            # [Nk, Nl, 1]
-    sol = jnp.linalg.solve(Gb, rb)[..., 0]              # [Nk, Nl]
-    return jnp.moveaxis(sol, 0, -1)
+            if state.pops is not None:
+                state.pops[:] = np.asarray(st['n'])

@@ -23,7 +23,7 @@ def uv_ref(ctx, ai, ti, t, la, mu, d, nStar, T):
     lt = la - t.Nblue
     lam = t.wavelength[lt]
     if t.isLine:
-        phi = np.asarray(ctx.transState[ai][ti]['phi'])  # [W, Nmu, 2, Nk]
+        phi = np.asarray(ctx.phi[ai][ti])  # [W, Nmu, 2, Nk]
         hnu_4pi = C.HC_FOURPI * (t.lambda0 / lam)
         Vij = hnu_4pi * t.Bij * phi[lt, mu, d]
         Vji = (t.Bji / t.Bij) * Vij
@@ -39,7 +39,7 @@ def uv_ref(ctx, ai, ti, t, la, mu, d, nStar, T):
 def wla_ref(ctx, ai, ti, t, la):
     lt = la - t.Nblue
     if t.isLine:
-        wphi = np.asarray(ctx.transState[ai][ti]['wphi'])
+        wphi = np.asarray(ctx.wphi[ai][ti])
         return t.wlambda[lt] * wphi * C.FOURPI_HC
     return np.full(ctx.atmos.Nspace,
                    t.wlambda[lt] / t.wavelength[lt] * C.FOURPI_H)
