@@ -71,7 +71,9 @@ def main():
 
     dev = jax.devices()[0]
     onTpu = dev.platform not in ('cpu',)
-    dtype = jnp.float32
+    # Bench the default (validated-converging) precision: f64, like the
+    # reference.  lightweaver_tpu enables x64 at import.
+    dtype = None
 
     nIter = 50
     ctx = build_ctx(dtype=dtype)
@@ -92,8 +94,8 @@ def main():
         'unit': 'gridpoints/s',
         'vs_baseline': throughput / cpuThroughput,
         'device': str(dev),
-        'config': 'FALC-500, H6+CaII, 5 rays, Nlam=%d, 50 iters, f32'
-                  % ctx.cfg.Nlam,
+        'config': 'FALC-500, H6+CaII, 5 rays, Nlam=%d, 50 iters, %s'
+                  % (ctx.cfg.Nlam, np.dtype(ctx.dtype).name),
         'wall_s_per_iter': wall / nIter,
     }))
 

@@ -38,6 +38,7 @@ from .background import basic_background
 from .iteration_update import IterationUpdate
 from .ops.faddeeva import voigt_H
 from .ops.formal_solver import formal_sol_1d
+from .ops.linalg import solve_KxK_over_depth
 from .ops.planck import planck_nu
 
 
@@ -167,7 +168,8 @@ def build_iteration_fn(cfg: IterConfig):
       'temperature'/'height': [Nk],
       'pops'/'nStar': per active atom [Nlevel, Nk],
       'detPops'/'detNStar': per detailed atom,
-      'GammaIn': per active atom [Nl, Nl, Nk] (collisional part),
+      'C': per active atom [Nl, Nl, Nk] collisional matrices,
+      'crsw': scalar collisional-radiative switching factor,
       'phi': nested [atom][trans] -> [W, Nmu, 2, Nk] or None,
       'wphi': nested [atom][trans] -> [Nk] or None,
     }
@@ -288,7 +290,7 @@ def build_iteration_fn(cfg: IterConfig):
 
         GammaOut, RijOut, RjiOut = [], [], []
         for ai, a in enumerate(cfg.activeAtoms):
-            Gamma = params['GammaIn'][ai]
+            Gamma = params['crsw'] * params['C'][ai]
             etaAtom = jnp.zeros((Nlam, Nmu, 2, Nk), dt)
             for ti, t in enumerate(a.trans):
                 etaAtom = etaAtom.at[t.Nblue:t.Nred].add(
@@ -348,10 +350,7 @@ def _stat_eq_solve(Gamma, n, nTotal):
     rowMask = (jnp.arange(Nl)[:, None] == iElim[None, :])   # [Nl, Nk]
     G = jnp.where(rowMask[:, None, :], 1.0, Gamma)      # [Nl, Nl, Nk]
     rhs = jnp.where(rowMask, nTotal[None, :], 0.0)      # [Nl, Nk]
-    Gb = jnp.moveaxis(G, -1, 0)                         # [Nk, Nl, Nl]
-    rb = jnp.moveaxis(rhs, -1, 0)[..., None]            # [Nk, Nl, 1]
-    sol = jnp.linalg.solve(Gb, rb)[..., 0]              # [Nk, Nl]
-    return jnp.moveaxis(sol, 0, -1)
+    return solve_KxK_over_depth(G, rhs)
 
 
 @partial(jax.jit, static_argnames=('theta',))
@@ -362,10 +361,7 @@ def _time_dep_solve(Gamma, nOld, dt, theta=1.0):
     Nl = Gamma.shape[0]
     eye = jnp.eye(Nl, dtype=Gamma.dtype)[:, :, None]
     M = eye - theta * dt * Gamma
-    Mb = jnp.moveaxis(M, -1, 0)
-    rb = jnp.moveaxis(nOld, -1, 0)[..., None]
-    sol = jnp.linalg.solve(Mb, rb)[..., 0]
-    return jnp.moveaxis(sol, 0, -1)
+    return solve_KxK_over_depth(M, nOld)
 
 
 class Context:
@@ -548,6 +544,7 @@ class Context:
                 col.compute_rates(self.atmos, self.eqPops, C)
             np.clip(C, 0.0, None, out=C)
         self._collisionsClean = True
+        self._CDevDirty = True
 
     # ------------------------------------------------------------------
     def build_params(self, crswVal: float = 1.0) -> Dict:
@@ -559,10 +556,16 @@ class Context:
             'nStar': [st['nStar'] for st in self.popsState],
             'detPops': [st['n'] for st in self.detailedPops],
             'detNStar': [st['nStar'] for st in self.detailedPops],
-            'GammaIn': [jnp.asarray(crswVal * C, self.dtype)
-                        for C in self.C],
+            'C': self._deviceC(),
+            'crsw': jnp.asarray(crswVal, self.dtype),
             'phi': self.phi, 'wphi': self.wphi,
         }
+
+    def _deviceC(self):
+        if getattr(self, '_CDev', None) is None or self._CDevDirty:
+            self._CDev = [jnp.asarray(C, self.dtype) for C in self.C]
+            self._CDevDirty = False
+        return self._CDev
 
     # ------------------------------------------------------------------
     def formal_sol_gamma_matrices(self, lambdaIterate: bool = False,
@@ -578,14 +581,21 @@ class Context:
         crswVal = self.crswCallback() if self.crswCallback is not None else 1.0
         self.crswDone = crswVal == 1.0
         self.compute_collisions()
-        out = self._iter_fn(self.build_params(crswVal),
-                            lambdaIterate=lambdaIterate)
+        if getattr(self, '_params', None) is None:
+            self._params = self.build_params(crswVal)
+        p = self._params
+        p['J'] = self.J
+        p['pops'] = [st['n'] for st in self.popsState]
+        p['nStar'] = [st['nStar'] for st in self.popsState]
+        p['C'] = self._deviceC()
+        p['crsw'] = jnp.asarray(crswVal, self.dtype)
+        out = self._iter_fn(p, lambdaIterate=lambdaIterate)
         self._Gamma = out['Gamma']
         self._Rij = out['Rij']
         self._Rji = out['Rji']
         self.J = out['J']
         self.I = out['I']
-        return IterationUpdate(self, updatedJ=True, dJMax=float(out['dJ']),
+        return IterationUpdate(self, updatedJ=True, dJMax=out['dJ'],
                                crsw=crswVal)
 
     # ------------------------------------------------------------------
@@ -636,6 +646,106 @@ class Context:
     def formal_sol(self, upOnly: bool = True):
         """Plain formal solution (no operator/rates), updating I and J."""
         return self.formal_sol_gamma_matrices(lambdaIterate=True)
+
+    # ------------------------------------------------------------------
+    def update_deps(self, temperature: bool = True, background: bool = True,
+                    profiles: bool = True, collisions: bool = True):
+        """Recompute quantities that depend on the atmosphere after it has
+        been modified in place (T, ne, vlos, vturb, ...).
+        ref: /root/reference/Source/LwMiddleLayer.pyx:3244-3288"""
+        atmos = self.atmos
+        dtc = self.dtype
+        if temperature:
+            self.eqPops.update_lte_atoms_Hmin_pops(
+                atmos, conserveCharge=self.conserveCharge)
+            for a, st in zip(self.cfg.activeAtoms, self.popsState):
+                st['nStar'] = jnp.asarray(
+                    self.eqPops.atomicPops[a.model.element].nStar, dtc)
+            for a, st in zip(self.cfg.detailedAtoms, self.detailedPops):
+                st['nStar'] = jnp.asarray(
+                    self.eqPops.atomicPops[a.model.element].nStar, dtc)
+            self.temperature = jnp.asarray(atmos.temperature, dtc)
+            self.height = jnp.asarray(atmos.height, dtc)
+        if background:
+            bg = self.backgroundProvider(self.spect, atmos, self.eqPops,
+                                         self.spect.radSet)
+            self.background = bg
+            self.bgChi = jnp.asarray(bg.chi, dtc)
+            self.bgEta = jnp.asarray(bg.eta, dtc)
+            self.bgSca = jnp.asarray(bg.sca, dtc)
+        if profiles:
+            self.compute_profiles()
+        if collisions:
+            self.compute_collisions(force=True)
+
+    # ------------------------------------------------------------------
+    def state_dict(self) -> Dict:
+        """Serialisable snapshot of the full simulation state (checkpoint /
+        clone / warm-restart).
+        ref: /root/reference/Source/LwMiddleLayer.pyx:2977-3037"""
+        return {
+            'atmos': self.atmos,
+            'spect': self.spect,
+            'eqPops': self.eqPops,
+            'J': np.asarray(self.J),
+            'I': np.asarray(self.I),
+            'pops': [np.asarray(st['n']) for st in self.popsState],
+            'nStar': [np.asarray(st['nStar']) for st in self.popsState],
+            'kwargs': {
+                'conserveCharge': self.conserveCharge,
+                'formalSolver': self.cfg.formalSolver,
+                'recurrenceMode': self.cfg.recurrenceMode,
+            },
+        }
+
+    @classmethod
+    def construct_from_state_dict_with(cls, state: Dict, atmos=None,
+                                       spect=None, eqPops=None) -> 'Context':
+        """Rebuild a Context from a state dict, optionally substituting the
+        atmosphere/spectral configuration/populations; J is interpolated
+        onto the new wavelength grid and populations are copied.
+        ref: /root/reference/Source/LwMiddleLayer.pyx:3758-3896"""
+        atmos = atmos if atmos is not None else state['atmos']
+        spect = spect if spect is not None else state['spect']
+        eqPops = eqPops if eqPops is not None else state['eqPops']
+        ctx = cls(atmos, spect, eqPops, **state['kwargs'])
+
+        oldLam = np.asarray(state['spect'].wavelength)
+        newLam = np.asarray(spect.wavelength)
+        Jold = state['J']
+        if (len(newLam) == len(oldLam)) and np.allclose(newLam, oldLam):
+            ctx.J = jnp.asarray(Jold, ctx.dtype)
+        else:
+            Jnew = np.empty((len(newLam), Jold.shape[1]))
+            for k in range(Jold.shape[1]):
+                Jnew[:, k] = np.interp(newLam, oldLam, Jold[:, k])
+            ctx.J = jnp.asarray(Jnew, ctx.dtype)
+        for st, n, nStar in zip(ctx.popsState, state['pops'], state['nStar']):
+            st['n'] = jnp.asarray(n, ctx.dtype)
+            st['nStar'] = jnp.asarray(nStar, ctx.dtype)
+        return ctx
+
+    # ------------------------------------------------------------------
+    def compute_rays(self, wavelengths=None, mus=None, stokes: bool = False,
+                     refinePrd: bool = False) -> np.ndarray:
+        """Synthesise final intensities on an arbitrary (wavelength, mu)
+        grid from the converged state: clone the context onto a subset
+        spectral configuration where every transition is active, and run a
+        plain formal solution.
+        ref: /root/reference/Source/LwMiddleLayer.pyx:3898-4003"""
+        import copy as _copy
+        state = self.state_dict()
+        if wavelengths is not None:
+            spect2 = self.spect.subset_configuration(wavelengths)
+        else:
+            spect2 = self.spect.subset_configuration(self.spect.wavelength)
+        atmos2 = _copy.copy(self.atmos)
+        if mus is not None:
+            atmos2.rays(mus)
+        rayCtx = Context.construct_from_state_dict_with(
+            state, atmos=atmos2, spect=spect2)
+        rayCtx.formal_sol()
+        return np.asarray(rayCtx.I)
 
     # convenience accessors --------------------------------------------
     @property

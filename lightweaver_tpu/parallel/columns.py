@@ -90,13 +90,6 @@ class ColumnBatch:
     # ------------------------------------------------------------------
     def formal_sol_gamma_matrices(self, lambdaIterate: bool = False) \
             -> IterationUpdate:
-        for ci, c in enumerate(self.contexts):
-            c.compute_collisions()
-        GammaIn = jax.tree.map(
-            lambda *xs: jnp.stack(xs),
-            *[[jnp.asarray(C, self.cfg.dtype) for C in c.C]
-              for c in self.contexts])
-        self.params['GammaIn'] = GammaIn
         fn = self._iter_lambda if lambdaIterate else self._iter_full
         out = fn(self.params)
         self.params['J'] = out['J']
