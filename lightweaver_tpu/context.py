@@ -374,6 +374,7 @@ class Context:
 
     def __init__(self, atmos: Atmosphere, spect, eqPops,
                  ngOptions=None, initSol=None, conserveCharge: bool = False,
+                 nrHOnly: bool = False,
                  formalSolver: str = 'piecewise_bezier3_1d',
                  recurrenceMode: str = 'scan',
                  backgroundProvider=None,
@@ -383,6 +384,7 @@ class Context:
         self.spect = spect
         self.eqPops = eqPops
         self.conserveCharge = conserveCharge
+        self.nrHOnly = nrHOnly
         self.crswCallback = crswCallback
         self.crswDone = crswCallback is None
         if dtype is None:
@@ -580,6 +582,7 @@ class Context:
 
         crswVal = self.crswCallback() if self.crswCallback is not None else 1.0
         self.crswDone = crswVal == 1.0
+        self._crswVal = crswVal
         self.compute_collisions()
         if getattr(self, '_params', None) is None:
             self._params = self.build_params(crswVal)
@@ -600,25 +603,147 @@ class Context:
 
     # ------------------------------------------------------------------
     def stat_equil(self) -> IterationUpdate:
-        """Statistical equilibrium solve for each active atom."""
+        """Statistical equilibrium solve for each active atom; with
+        conserveCharge, followed by a Newton-Raphson charge-conservation
+        step coupling the populations and ne.
+        ref: /root/reference/Source/LwMiddleLayer.pyx:3461-3560"""
         if self._Gamma is None:
             raise ValueError('Call formal_sol_gamma_matrices first')
-        dPops = []
-        accelerated = False
         for ai, a in enumerate(self.cfg.activeAtoms):
             st = self.popsState[ai]
-            n = st['n']
             nTotal = jnp.asarray(
                 self.eqPops.atomicPops[a.model.element].nTotal, self.dtype)
-            nNew = _stat_eq_solve(self._Gamma[ai], n, nTotal)
+            st['n'] = _stat_eq_solve(self._Gamma[ai], st['n'], nTotal)
+
+        dNeMax = None
+        if self.conserveCharge:
+            dNeMax = self.nr_post_update(hOnly=self.nrHOnly)
+
+        dPops = []
+        accelerated = False
+        for ai, st in enumerate(self.popsState):
+            nNew = st['n']
             accel, sol = self.ngs[ai].accelerate(np.asarray(nNew))
             if accel:
                 nNew = jnp.asarray(sol.reshape(nNew.shape), self.dtype)
                 accelerated = True
             dPops.append(self.ngs[ai].max_change())
             st['n'] = nNew
-        return IterationUpdate(self, updatedPops=True, dPops=dPops,
-                               ngAccelerated=accelerated)
+        upd = IterationUpdate(self, updatedPops=True, dPops=dPops,
+                              ngAccelerated=accelerated)
+        if dNeMax is not None:
+            upd.updatedNe = True
+            upd.dNeMax = dNeMax
+        return upd
+
+    # ------------------------------------------------------------------
+    def _fd_dC(self, atoms, atomIdx, crswVal: float, pertSize: float = 1e-4):
+        """Finite-difference dC/dne: perturb ne by 1e-4 relative, refresh
+        the atom's LTE populations, and recompute its collisional rates.
+        ref: /root/reference/lightweaver/nr_update.py:75-92"""
+        from .atomic_set import lte_pops
+        atmos = self.atmos
+        neStart = np.asarray(atmos.ne).copy()
+        pert = neStart * pertSize
+        dCs = []
+        for a, ai in zip(atoms, atomIdx):
+            state = self.eqPops.atomicPops[a.model.element]
+            Cprev = self.C[ai]
+            atmos.ne[:] = neStart + pert
+            nStarPrev = state.nStar.copy()
+            state.nStar[:] = lte_pops(a.model, atmos.temperature, atmos.ne,
+                                      state.nTotal, debye=True)
+            Cpert = np.zeros_like(Cprev)
+            for col in a.model.collisions:
+                col.compute_rates(atmos, self.eqPops, Cpert)
+            np.clip(Cpert, 0.0, None, out=Cpert)
+            atmos.ne[:] = neStart
+            state.nStar[:] = nStarPrev
+            dCs.append(jnp.asarray(crswVal * (Cpert - Cprev) / pert,
+                                   self.dtype))
+        return dCs
+
+    def nr_post_update(self, fdCollisionRates: bool = True,
+                       hOnly: bool = False, timeDependentData=None) -> float:
+        """Newton-Raphson charge-conservation update of (populations, ne).
+        Returns the max relative change in ne.
+        ref: /root/reference/lightweaver/nr_update.py:7-106"""
+        from .atomic_table import PeriodicTable
+        from .nr_update import build_nr_fn
+        if self.cfg.activeAtoms[0].model.element != PeriodicTable.element(1):
+            raise ValueError(
+                'Calling nr_post_update without Hydrogen active.')
+        atoms = (self.cfg.activeAtoms[:1] if hOnly
+                 else self.cfg.activeAtoms)
+        atomIdx = list(range(len(atoms)))
+        crswVal = getattr(self, '_crswVal', 1.0)
+        timeDep = timeDependentData is not None
+
+        # background electron contribution from non-NR species
+        if hOnly:
+            bgModels = [m for m in self.spect.radSet
+                        if m.element != PeriodicTable.element(1)]
+        else:
+            bgModels = (self.spect.radSet.detailedAtoms
+                        + self.spect.radSet.passiveAtoms)
+        backgroundNe = np.zeros_like(np.asarray(self.atmos.ne))
+        for m in bgModels:
+            stages = np.array([l.stage for l in m.levels], dtype=np.float64)
+            n = self.eqPops.atomicPops[m.element].n
+            backgroundNe += np.sum(stages[:, None] * n, axis=0)
+
+        dCs = (self._fd_dC(atoms, atomIdx, crswVal)
+               if fdCollisionRates else None)
+
+        key = (len(atoms), timeDep, fdCollisionRates)
+        if getattr(self, '_nrFnKey', None) != key:
+            Nlevels = [a.Nlevel for a in atoms]
+            stagesList = [np.array([l.stage for l in a.model.levels],
+                                   dtype=np.float64) for a in atoms]
+            contPairs = [[(t.i, t.j) for t in a.trans if not t.isLine]
+                         for a in atoms]
+            self._nrFn = build_nr_fn(Nlevels, stagesList, contPairs,
+                                     timeDep, self.dtype)
+            self._nrFnKey = key
+
+        Gammas = [self._Gamma[ai] for ai in atomIdx]
+        ns = [self.popsState[ai]['n'] for ai in atomIdx]
+        nTotals = [jnp.asarray(
+            self.eqPops.atomicPops[a.model.element].nTotal, self.dtype)
+            for a in atoms]
+        Cs = [self._deviceC()[ai] for ai in atomIdx]
+        ne = jnp.asarray(self.atmos.ne, self.dtype)
+        bgNe = jnp.asarray(backgroundNe, self.dtype)
+        crsw = jnp.asarray(crswVal, self.dtype)
+        if timeDep:
+            newNs, newNe = self._nrFn(
+                Gammas, ns, nTotals, Cs, dCs, ne, bgNe, crsw,
+                jnp.asarray(timeDependentData['dt'], self.dtype),
+                [jnp.asarray(p, self.dtype)
+                 for p in timeDependentData['nPrev'][:len(atoms)]])
+        else:
+            newNs, newNe = self._nrFn(Gammas, ns, nTotals, Cs, dCs, ne,
+                                      bgNe, crsw)
+
+        for ai, nNew in zip(atomIdx, newNs):
+            self.popsState[ai]['n'] = nNew
+        neStart = np.asarray(self.atmos.ne).copy()
+        neNew = np.asarray(newNe, np.float64)
+        self.atmos.ne[:] = neNew
+
+        # refresh LTE populations / H- for the new ne, and push nStar back
+        # to the device (continuum gij depends on it)
+        self.eqPops.update_lte_atoms_Hmin_pops(self.atmos,
+                                               conserveCharge=False)
+        for a, st in zip(self.cfg.activeAtoms, self.popsState):
+            st['nStar'] = jnp.asarray(
+                self.eqPops.atomicPops[a.model.element].nStar, self.dtype)
+        for a, st in zip(self.cfg.detailedAtoms, self.detailedPops):
+            st['nStar'] = jnp.asarray(
+                self.eqPops.atomicPops[a.model.element].nStar, self.dtype)
+        self.compute_collisions(force=True)
+
+        return float(np.max(np.abs(neNew - neStart) / neNew))
 
     # ------------------------------------------------------------------
     def time_dep_update(self, dt: float, prevTimePops=None) \
