@@ -270,7 +270,7 @@ def build_iteration_fn(cfg: IterConfig):
             out = out.at[dstSl].add(sign * contrib)
         return out
 
-    def iteration(params, lambdaIterate=False):
+    def iteration(params, lambdaIterate=False, storeDepthData=False):
         params = dict(params)
         params['allPops'] = list(params['pops']) + list(params['detPops'])
         allNStar = list(params['nStar']) + list(params['detNStar'])
@@ -334,8 +334,15 @@ def build_iteration_fn(cfg: IterConfig):
             RjiOut.append(Rji)
 
         Iout = I[:, :, 1, 0]        # emergent (upgoing, top)
-        return {'Gamma': GammaOut, 'Rij': RijOut, 'Rji': RjiOut,
-                'J': Jnew, 'I': Iout, 'dJ': dJ}
+        out = {'Gamma': GammaOut, 'Rij': RijOut, 'Rji': RjiOut,
+               'J': Jnew, 'I': Iout, 'dJ': dJ}
+        if storeDepthData:
+            # full-resolution capture of chi/eta/I per (lambda, mu, +/-, k)
+            # (ref DepthData: /root/reference/Source/LwContext.hpp:12-18)
+            out['depthChi'] = chiTot
+            out['depthEta'] = etaTot
+            out['depthI'] = I
+        return out
 
     return iteration
 
@@ -454,6 +461,12 @@ class Context:
         self._Gamma = None
         self._Rij = None
         self._Rji = None
+
+        from types import SimpleNamespace
+        # opt-in full-resolution chi/eta/I capture
+        # (ref: /root/reference/Source/LwMiddleLayer.pyx:469-553)
+        self.depthData = SimpleNamespace(fill=False, chi=None, eta=None,
+                                         I=None)
 
     # expose static atom lists like before
     @property
@@ -577,8 +590,9 @@ class Context:
         Gamma-matrix and rate accumulation.
         ref: /root/reference/Source/LwMiddleLayer.pyx:3152"""
         if self._iter_fn is None:
-            self._iter_fn = jax.jit(build_iteration_fn(self.cfg),
-                                    static_argnames=('lambdaIterate',))
+            self._iter_fn = jax.jit(
+                build_iteration_fn(self.cfg),
+                static_argnames=('lambdaIterate', 'storeDepthData'))
 
         crswVal = self.crswCallback() if self.crswCallback is not None else 1.0
         self.crswDone = crswVal == 1.0
@@ -592,12 +606,17 @@ class Context:
         p['nStar'] = [st['nStar'] for st in self.popsState]
         p['C'] = self._deviceC()
         p['crsw'] = jnp.asarray(crswVal, self.dtype)
-        out = self._iter_fn(p, lambdaIterate=lambdaIterate)
+        out = self._iter_fn(p, lambdaIterate=lambdaIterate,
+                            storeDepthData=self.depthData.fill)
         self._Gamma = out['Gamma']
         self._Rij = out['Rij']
         self._Rji = out['Rji']
         self.J = out['J']
         self.I = out['I']
+        if self.depthData.fill:
+            self.depthData.chi = out['depthChi']
+            self.depthData.eta = out['depthEta']
+            self.depthData.I = out['depthI']
         return IterationUpdate(self, updatedJ=True, dJMax=out['dJ'],
                                crsw=crswVal)
 
