@@ -59,6 +59,7 @@ class TransStatic:
     wlambda: np.ndarray = None          # [W] integration weights
     alpha: np.ndarray = None            # [W] continuum cross-section
     polarisable: bool = False
+    isPrd: bool = False
 
     @property
     def W(self):
@@ -133,6 +134,12 @@ def _uv(cfg: IterConfig, params, ai: int, ti: int, t: TransStatic):
         hnu_4pi = Const.HC_FOURPI * (t.lambda0 / lam)
         Vij = hnu_4pi[:, None, None, None] * t.Bij * phi
         Vji = (t.Bji / t.Bij) * Vij
+        if t.isPrd and params.get('rhoPrd') is not None:
+            rho = params['rhoPrd'][ai][ti]
+            if rho is not None:
+                # emission profile psi = rho phi: scales Vji and Uji
+                # (ref: /root/reference/Source/LwAtom.hpp:119-123)
+                Vji = Vji * rho[:, None, None, :]
         Uji = (t.Aji / t.Bji) * Vji
     else:
         nStar = params['nStar'][ai]
@@ -450,6 +457,13 @@ class Context:
         self.compute_collisions()
         self.compute_profiles()
 
+        # PRD emission-profile ratio rho per (active atom, PRD line);
+        # detailed atoms padded with None so all-atom indexing works
+        self.rhoPrd = [[jnp.ones((t.W, atmos.Nspace), dtype)
+                        if (t.isLine and t.isPrd) else None
+                        for t in a.trans] for a in activeAtoms]
+        self.rhoPrd += [[None] * len(a.trans) for a in detailedAtoms]
+
         from .ops.ng import Ng, NgOptions
         if ngOptions is None:
             ngOptions = NgOptions(0, 0, 0)
@@ -490,12 +504,14 @@ class Context:
             Nred = spect.redIdx[ident]
             grid = spect.wavelength[Nblue:Nred]
             if isinstance(t, AtomicLine):
+                from .atomic_model import LineType
                 ts = TransStatic(
                     isLine=True, i=t.i, j=t.j, Nblue=Nblue, Nred=Nred,
                     lambda0=t.lambda0, Aji=t.Aji, Bji=t.Bji, Bij=t.Bij,
                     wavelength=np.asarray(grid),
                     wlambda=_wlambda(grid, Const.CLight / t.lambda0),
-                    polarisable=t.polarisable)
+                    polarisable=t.polarisable,
+                    isPrd=(t.type == LineType.PRD and not detailed))
             else:
                 ts = TransStatic(
                     isLine=False, i=t.i, j=t.j, Nblue=Nblue, Nred=Nred,
@@ -519,17 +535,24 @@ class Context:
         wmu = jnp.asarray(atmos.wmu, dt)
         self.phi = []      # [atom][trans] -> [W, Nmu, 2, Nk] or None
         self.wphi = []     # [atom][trans] -> [Nk] or None
+        self.aDamp = []    # [atom][trans] -> [Nk] np or None (PRD needs it)
+        self.Qelast = []
         for a in self.cfg.activeAtoms + self.cfg.detailedAtoms:
             vBroad = jnp.asarray(a.model.vBroad(atmos), dt)
             phiA, wphiA = [], []
+            aDampA, QelastA = [], []
             lineByIdx = {(l.i, l.j): l for l in a.model.lines}
             for t in a.trans:
                 if not t.isLine:
                     phiA.append(None)
                     wphiA.append(None)
+                    aDampA.append(None)
+                    QelastA.append(None)
                     continue
                 line = lineByIdx[(t.i, t.j)]
                 aDamp, Qelast = line.damping(atmos, self.eqPops)
+                aDampA.append(np.asarray(aDamp))
+                QelastA.append(np.asarray(Qelast))
                 aDamp = jnp.asarray(aDamp, dt)
                 lam = jnp.asarray(t.wavelength, dt)
                 vBase = (lam - t.lambda0) * Const.CLight / t.lambda0   # [W]
@@ -545,6 +568,8 @@ class Context:
                 wphiA.append(1.0 / wphi_inv)
             self.phi.append(phiA)
             self.wphi.append(wphiA)
+            self.aDamp.append(aDampA)
+            self.Qelast.append(QelastA)
 
     # ------------------------------------------------------------------
     def compute_collisions(self, force: bool = False):
@@ -574,6 +599,7 @@ class Context:
             'C': self._deviceC(),
             'crsw': jnp.asarray(crswVal, self.dtype),
             'phi': self.phi, 'wphi': self.wphi,
+            'rhoPrd': self.rhoPrd,
         }
 
     def _deviceC(self):
@@ -606,6 +632,7 @@ class Context:
         p['nStar'] = [st['nStar'] for st in self.popsState]
         p['C'] = self._deviceC()
         p['crsw'] = jnp.asarray(crswVal, self.dtype)
+        p['rhoPrd'] = self.rhoPrd
         out = self._iter_fn(p, lambdaIterate=lambdaIterate,
                             storeDepthData=self.depthData.fill)
         self._Gamma = out['Gamma']
@@ -792,6 +819,85 @@ class Context:
         return self.formal_sol_gamma_matrices(lambdaIterate=True)
 
     # ------------------------------------------------------------------
+    def _prd_lines(self):
+        return [(ai, ti, a, t)
+                for ai, a in enumerate(self.cfg.activeAtoms)
+                for ti, t in enumerate(a.trans) if t.isLine and t.isPrd]
+
+    def prd_redistribute(self, maxIter: int = 3,
+                         tol: float = 1e-2) -> IterationUpdate:
+        """Iterate the PRD emission-profile ratios rho: per line compute
+        the angle-averaged scattering integral against the current J and
+        rates, then refresh J/rates with a formal solution, until
+        drho < tol or maxIter.
+        ref: /root/reference/Source/PrdTemplates.hpp:176-351,
+             /root/reference/Source/Prd.cpp:9-30, 468-645"""
+        from .ops.ng import Ng
+        from .ops.prd import prd_scatter_rho
+
+        prdLines = self._prd_lines()
+        if not prdLines:
+            return IterationUpdate(self)
+        if self._Rij is None:
+            raise ValueError('Call formal_sol_gamma_matrices first')
+
+        atmos = self.atmos
+        ngs = [Ng(0, 0, 0, np.asarray(self.rhoPrd[ai][ti]).ravel())
+               for ai, ti, a, t in prdLines]
+
+        dRho = [0.0] * len(prdLines)
+        nIter = 0
+        for it in range(maxIter):
+            nIter += 1
+            dRhoMax = 0.0
+            for li, (ai, ti, a, t) in enumerate(prdLines):
+                # Pj + Qj: total upper-level depopulation + elastic rate
+                # (ref: /root/reference/Source/Prd.cpp:9-30)
+                PjQj = self.Qelast[ai][ti].copy()
+                PjQj += np.asarray(self.C[ai][:, t.j, :]).sum(axis=0)
+                for t2i, t2 in enumerate(a.trans):
+                    if t2.j == t.j:
+                        PjQj += np.asarray(self._Rji[ai][t2i])
+                    if t2.i == t.j:
+                        PjQj += np.asarray(self._Rij[ai][t2i])
+
+                n = np.asarray(self.popsState[ai]['n'])
+                gammaPre = n[t.i] / n[t.j] * t.Bij / PjQj
+                Jbar = np.asarray(self._Rij[ai][ti]) / t.Bij
+                vBroad = a.model.vBroad(atmos)
+                qWave = ((t.wavelength[:, None] - t.lambda0) * Const.CLight
+                         / (t.lambda0 * vBroad[None, :]))
+                Jw = self.J[t.Nblue:t.Nred]
+                rho = prd_scatter_rho(
+                    jnp.asarray(qWave, self.dtype),
+                    jnp.asarray(self.aDamp[ai][ti], self.dtype), Jw,
+                    jnp.asarray(gammaPre, self.dtype),
+                    jnp.asarray(Jbar, self.dtype))
+                ngs[li].accelerate(np.asarray(rho).ravel())
+                dRho[li] = ngs[li].max_change()
+                dRhoMax = max(dRhoMax, dRho[li])
+                self.rhoPrd[ai][ti] = jnp.asarray(rho, self.dtype)
+
+            # refresh J and rates with the new rho (the reference restricts
+            # this to PRD-active wavelengths; the dense-batch program runs
+            # the full grid, which also refreshes overlapping rates).
+            # Freeze the CRSW schedule across sub-iterations.
+            cur = getattr(self, '_crswVal', 1.0)
+            cb = self.crswCallback
+            self.crswCallback = (lambda: cur) if cb is not None else None
+            try:
+                self.formal_sol_gamma_matrices()
+            finally:
+                self.crswCallback = cb
+            if dRhoMax < tol:
+                break
+
+        upd = IterationUpdate(self, updatedRho=True, dRho=dRho,
+                              NprdSubIter=nIter)
+        upd.updatedJ = True
+        return upd
+
+    # ------------------------------------------------------------------
     def update_deps(self, temperature: bool = True, background: bool = True,
                     profiles: bool = True, collisions: bool = True):
         """Recompute quantities that depend on the atmosphere after it has
@@ -835,6 +941,10 @@ class Context:
             'I': np.asarray(self.I),
             'pops': [np.asarray(st['n']) for st in self.popsState],
             'nStar': [np.asarray(st['nStar']) for st in self.popsState],
+            'rhoPrd': {
+                (a.model.element, t.i, t.j):
+                    (t.wavelength.copy(), np.asarray(self.rhoPrd[ai][ti]))
+                for ai, ti, a, t in self._prd_lines()},
             'kwargs': {
                 'conserveCharge': self.conserveCharge,
                 'formalSolver': self.cfg.formalSolver,
@@ -867,6 +977,19 @@ class Context:
         for st, n, nStar in zip(ctx.popsState, state['pops'], state['nStar']):
             st['n'] = jnp.asarray(n, ctx.dtype)
             st['nStar'] = jnp.asarray(nStar, ctx.dtype)
+
+        # interpolate PRD rho onto the new per-line windows
+        # (ref: /root/reference/Source/LwMiddleLayer.pyx:1960-1963)
+        oldRho = state.get('rhoPrd', {})
+        for ai, ti, a, t in ctx._prd_lines():
+            key = (a.model.element, t.i, t.j)
+            if key not in oldRho:
+                continue
+            oldLamW, rho = oldRho[key]
+            rhoNew = np.empty((t.W, rho.shape[1]))
+            for k in range(rho.shape[1]):
+                rhoNew[:, k] = np.interp(t.wavelength, oldLamW, rho[:, k])
+            ctx.rhoPrd[ai][ti] = jnp.asarray(rhoNew, ctx.dtype)
         return ctx
 
     # ------------------------------------------------------------------
@@ -888,6 +1011,9 @@ class Context:
             atmos2.rays(mus)
         rayCtx = Context.construct_from_state_dict_with(
             state, atmos=atmos2, spect=spect2)
+        if refinePrd and rayCtx._prd_lines():
+            rayCtx.formal_sol_gamma_matrices()
+            rayCtx.prd_redistribute(maxIter=100)
         rayCtx.formal_sol()
         return np.asarray(rayCtx.I)
 
