@@ -250,14 +250,24 @@ class Atmosphere:
         bx = np.sin(self.gammaB) * np.cos(self.chiB)
         by = np.sin(self.gammaB) * np.sin(self.chiB)
         bz = np.cos(self.gammaB)
-        cosGamma = (self.mux[:, None] * bx[None, :]
-                    + self.muy[:, None] * by[None, :]
-                    + self.muz[:, None] * bz[None, :])
-        # azimuth of B around the ray
-        chi = np.arctan2(by[None, :] * self.muz[:, None]
-                         - bz[None, :] * self.muy[:, None],
-                         bz[None, :] * self.mux[:, None]
-                         - bx[None, :] * self.muz[:, None])
-        cos2chi = np.cos(2 * chi)
-        sin2chi = np.sin(2 * chi)
+        mux, muy, muz = self.mux, self.muy, self.muz
+        b3 = (mux[:, None] * bx[None, :] + muy[:, None] * by[None, :]
+              + muz[:, None] * bz[None, :])                  # cos(gamma)
+        vertical = np.abs(muz) >= 1.0 - 1e-12               # [Nmu]
+        cscTheta = 1.0 / np.sqrt(np.maximum(1.0 - muz ** 2, 1e-30))
+        b1 = cscTheta[:, None] * (bz[None, :] - muz[:, None] * b3)
+        b2 = cscTheta[:, None] * (muy[:, None] * bx[None, :]
+                                  - mux[:, None] * by[None, :])
+        denom = np.maximum(1.0 - b3 ** 2, 1e-30)
+        cos2chi = (b1 ** 2 - b2 ** 2) / denom
+        sin2chi = 2.0 * b1 * b2 / denom
+        # field parallel to the ray: azimuth undefined, polarised weights
+        # multiply sin^2(gamma) = 0 anyway
+        degenerate = (1.0 - b3 ** 2) < 1e-12
+        cos2chi = np.where(degenerate, 1.0, cos2chi)
+        sin2chi = np.where(degenerate, 0.0, sin2chi)
+        v = vertical[:, None]
+        cosGamma = np.where(v, np.cos(self.gammaB)[None, :], b3)
+        cos2chi = np.where(v, np.cos(2 * self.chiB)[None, :], cos2chi)
+        sin2chi = np.where(v, np.sin(2 * self.chiB)[None, :], sin2chi)
         return cosGamma, cos2chi, sin2chi

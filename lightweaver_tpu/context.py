@@ -819,6 +819,183 @@ class Context:
         return self.formal_sol_gamma_matrices(lambdaIterate=True)
 
     # ------------------------------------------------------------------
+    def compute_polarised_profiles(self):
+        """Zeeman-split polarised profiles per polarisable line:
+        phi (I), phi_{Q,U,V}, psi_{Q,U,V}, each [W, Nmu, 2, Nk], from the
+        anomalous-splitting component list and the B-field geometry.
+        ref: /root/reference/Source/FormalStokes.cpp:9-117"""
+        atmos = self.atmos
+        if atmos.B is None:
+            raise ValueError('Atmosphere has no magnetic field')
+        dt = self.dtype
+        from .ops.faddeeva import voigt_HF
+        vlosMu = jnp.asarray(atmos.vlos_mu(), dt)
+        wmu = jnp.asarray(atmos.wmu, dt)
+        cosGamma, cos2chi, sin2chi = atmos.B_projections()
+        cosG = jnp.asarray(cosGamma, dt)[None, :, None, :]
+        sin2G = 1.0 - cosG * cosG
+        c2chi = jnp.asarray(cos2chi, dt)[None, :, None, :]
+        s2chi = jnp.asarray(sin2chi, dt)[None, :, None, :]
+        s = jnp.asarray([-1.0, 1.0], dt)[None, None, :, None]
+
+        self.phi7 = []   # [atom][trans] -> dict or None
+        for ai, a in enumerate(self.cfg.activeAtoms + self.cfg.detailedAtoms):
+            vBroad = a.model.vBroad(atmos)
+            vB_fac = (Const.QElectron / (4.0 * np.pi * Const.MElectron)
+                      * Const.NM_TO_M)
+            lineByIdx = {(l.i, l.j): l for l in a.model.lines}
+            phiA = []
+            for ti, t in enumerate(a.trans):
+                if not (t.isLine and t.polarisable):
+                    phiA.append(None)
+                    continue
+                line = lineByIdx[(t.i, t.j)]
+                z = line.zeeman_components()
+                if z is None:
+                    phiA.append(None)
+                    continue
+                aDamp = jnp.asarray(self.aDamp[ai][ti], dt)
+                vB = jnp.asarray(vB_fac * t.lambda0 * atmos.B / vBroad, dt)
+                sv = jnp.asarray(1.0 / (Const.SqrtPi * vBroad), dt)
+                lam = jnp.asarray(t.wavelength, dt)
+                vBase = (lam - t.lambda0) * Const.CLight / t.lambda0
+                vk = ((vBase[:, None, None, None]
+                       + s * vlosMu[None, :, None, :])
+                      / jnp.asarray(vBroad, dt)[None, None, None, :])
+                acc = {key: 0.0 for key in ('phi_sb', 'phi_pi', 'phi_sr',
+                                            'psi_sb', 'psi_pi', 'psi_sr')}
+                names = {-1: 'sb', 0: 'pi', 1: 'sr'}
+                for nz in range(len(z.alpha)):
+                    H, F = voigt_HF(aDamp[None, None, None, :],
+                                    vk - z.shift[nz] * vB[None, None, None, :])
+                    key = names[int(z.alpha[nz])]
+                    acc['phi_' + key] += z.strength[nz] * H
+                    acc['psi_' + key] += z.strength[nz] * F
+                phi_sigma = acc['phi_sr'] + acc['phi_sb']
+                phi_delta = 0.5 * acc['phi_pi'] - 0.25 * phi_sigma
+                psi_sigma = acc['psi_sr'] + acc['psi_sb']
+                psi_delta = 0.5 * acc['psi_pi'] - 0.25 * psi_sigma
+                svB = sv[None, None, None, :]
+                phi = (phi_delta * sin2G + 0.5 * phi_sigma) * svB
+                out = {
+                    'phi': phi,
+                    'phiQ': s * phi_delta * sin2G * c2chi * svB,
+                    'phiU': phi_delta * sin2G * s2chi * svB,
+                    'phiV': s * 0.5 * (acc['phi_sr'] - acc['phi_sb'])
+                            * cosG * svB,
+                    'psiQ': s * psi_delta * sin2G * c2chi * svB,
+                    'psiU': psi_delta * sin2G * s2chi * svB,
+                    'psiV': s * 0.5 * (acc['psi_sr'] - acc['psi_sb'])
+                            * cosG * svB,
+                }
+                wla = jnp.asarray(t.wlambda, dt)
+                wphi_inv = jnp.einsum('lmdk,l,m->k', phi, wla, 0.5 * wmu)
+                out['wphi'] = 1.0 / wphi_inv
+                phiA.append(out)
+            self.phi7.append(phiA)
+
+    # ------------------------------------------------------------------
+    def single_stokes_fs(self, recompute: bool = False, updateJ: bool = False,
+                         upOnly: bool = True):
+        """Polarised (Zeeman) formal solution: emergent Stokes I, Q, U, V
+        per (wavelength, mu).  Synthesis only (no Gamma/rates), matching
+        the reference's single_stokes_fs.
+        ref: /root/reference/Source/LwMiddleLayer.pyx:3605,
+             /root/reference/Source/FormalStokes.cpp:418-728"""
+        if getattr(self, 'phi7', None) is None or recompute:
+            self.compute_polarised_profiles()
+        cfg = self.cfg
+        Nlam, Nmu, Nk = cfg.Nlam, cfg.Nmu, cfg.Nk
+        dt = self.dtype
+        d = 1          # upgoing only
+
+        params = self.build_params()
+        params = dict(params)
+        params['allPops'] = (list(params['pops']) + list(params['detPops']))
+        params['nStar'] = (list(params['nStar']) + list(params['detNStar']))
+
+        chi7 = jnp.zeros((Nlam, Nmu, 7, Nk), dt)
+        eta4 = jnp.zeros((Nlam, Nmu, 4, Nk), dt)
+        chi7 = chi7.at[:, :, 0, :].add(self.bgChi[:, None, :])
+
+        allAtoms = cfg.activeAtoms + cfg.detailedAtoms
+        for ai, a in enumerate(allAtoms):
+            n = params['allPops'][ai]
+            for ti, t in enumerate(a.trans):
+                sl = slice(t.Nblue, t.Nred)
+                pol = (t.isLine and getattr(self, 'phi7', None) is not None
+                       and self.phi7[ai][ti] is not None)
+                if pol:
+                    p7 = self.phi7[ai][ti]
+                    lam = jnp.asarray(t.wavelength, dt)
+                    hnu_4pi = Const.HC_FOURPI * (t.lambda0 / lam)
+                    rho = None
+                    if t.isPrd and self.rhoPrd[ai][ti] is not None:
+                        rho = self.rhoPrd[ai][ti][:, None, :]
+
+                    def uv_pol(prof):
+                        # prof: [W, Nmu, Nk] (direction pre-sliced)
+                        Vij = hnu_4pi[:, None, None] * t.Bij * prof
+                        Vji = (t.Bji / t.Bij) * Vij
+                        if rho is not None:
+                            Vji = Vji * rho
+                        Uji = (t.Aji / t.Bji) * Vji
+                        return Uji, Vij, Vji
+
+                    comps = [('phi', 0), ('phiQ', 1), ('phiU', 2),
+                             ('phiV', 3), ('psiQ', 4), ('psiU', 5),
+                             ('psiV', 6)]
+                    for name, ci in comps:
+                        Uji, Vij, Vji = uv_pol(p7[name][:, :, d, :])
+                        chi_c = n[t.i] * Vij - n[t.j] * Vji
+                        chi7 = chi7.at[sl, :, ci, :].add(chi_c)
+                        if ci < 4:
+                            eta4 = eta4.at[sl, :, ci, :].add(n[t.j] * Uji)
+                else:
+                    Uji, Vij, Vji = _uv(cfg, params, ai, ti, t)
+                    chi_c = (n[t.i] * Vij - n[t.j] * Vji)[:, :, d, :]
+                    eta_c = (n[t.j] * Uji)[:, :, d, :]
+                    chi7 = chi7.at[sl, :, 0, :].add(
+                        jnp.broadcast_to(chi_c, (t.W, Nmu, Nk)))
+                    eta4 = eta4.at[sl, :, 0, :].add(
+                        jnp.broadcast_to(eta_c, (t.W, Nmu, Nk)))
+
+        chiI = chi7[:, :, 0, :]
+        S4 = eta4 / chiI[:, :, None, :]
+        S4 = S4.at[:, :, 0, :].add(
+            (self.bgEta + self.bgSca * self.J)[:, None, :] / chiI)
+
+        # thermalised lower boundary for Stokes I; Q=U=V=0
+        lamGrid = jnp.asarray(cfg.wavelength, dt)
+        muz = jnp.asarray(cfg.muz, dt)
+        T = self.temperature
+        height = self.height
+        if cfg.lowerThermalised:
+            BnuN = planck_nu(T[Nk - 1], lamGrid)
+            BnuN1 = planck_nu(T[Nk - 2], lamGrid)
+            dtau = (0.5 * (chiI[:, :, Nk - 1] + chiI[:, :, Nk - 2])
+                    * jnp.abs(height[Nk - 1] - height[Nk - 2]) / muz[None, :])
+            I0 = BnuN[:, None] - (BnuN1[:, None] - BnuN[:, None]) / dtau
+        else:
+            I0 = jnp.zeros((Nlam, Nmu), dt)
+        Iupw = jnp.zeros((Nlam * Nmu, 4), dt)
+        Iupw = Iupw.at[:, 0].set(I0.reshape(-1))
+
+        from .ops.stokes import delo_bezier_stokes
+        muzB = jnp.broadcast_to(muz[None, :], (Nlam, Nmu)).reshape(-1)
+        Ifull = delo_bezier_stokes(
+            chi7.reshape(Nlam * Nmu, 7, Nk).transpose(0, 1, 2),
+            S4.reshape(Nlam * Nmu, 4, Nk),
+            height, muzB, Iupw, to_obs=True)
+        Ifull = Ifull.reshape(Nlam, Nmu, 4, Nk)
+        self.I = Ifull[:, :, 0, 0]
+        self.Quv = jnp.moveaxis(Ifull[:, :, 1:, 0], 2, 0)   # [3, Nlam, Nmu]
+        if updateJ:
+            self.J = jnp.einsum('lmk,m->lk', Ifull[:, :, 0, :],
+                                0.5 * jnp.asarray(cfg.wmu, dt))
+        return IterationUpdate(self, updatedJ=updateJ)
+
+    # ------------------------------------------------------------------
     def _prd_lines(self):
         return [(ai, ti, a, t)
                 for ai, a in enumerate(self.cfg.activeAtoms)
@@ -1014,6 +1191,10 @@ class Context:
         if refinePrd and rayCtx._prd_lines():
             rayCtx.formal_sol_gamma_matrices()
             rayCtx.prd_redistribute(maxIter=100)
+        if stokes:
+            rayCtx.single_stokes_fs()
+            return np.concatenate([np.asarray(rayCtx.I)[None],
+                                   np.asarray(rayCtx.Quv)], axis=0)
         rayCtx.formal_sol()
         return np.asarray(rayCtx.I)
 
