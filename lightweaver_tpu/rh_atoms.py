@@ -189,3 +189,226 @@ def H_6_CRD_atom() -> AtomicModel:
     for l in atom.lines:
         l.type = LineType.CRD
     return atom
+
+
+def H_4_atom() -> AtomicModel:
+    """4-level hydrogen (3 bound + H II): trimmed H_6 for time-dependent
+    problems."""
+    atom = H_6_atom()
+    keep = {0, 1, 2, 5}
+    remap = {0: 0, 1: 1, 2: 2, 5: 3}
+    levels = [l for li, l in enumerate(atom.levels) if li in keep]
+    lines = [l for l in atom.lines if l.i in keep and l.j in keep]
+    continua = [c for c in atom.continua if c.i in keep and c.j in keep]
+    collisions = [c for c in atom.collisions
+                  if c.i in keep and c.j in keep]
+    for l in lines + continua + collisions:
+        l.i = remap[l.i]
+        l.j = remap[l.j]
+    return AtomicModel(element=PeriodicTable.element('H'), levels=levels,
+                       lines=lines, continua=continua, collisions=collisions)
+
+
+def MgII_atom() -> AtomicModel:
+    """5-level + continuum Mg II: h & k resonance lines (PRD) and the
+    near-UV subordinate lines.  Energies/f-values from NIST ASD."""
+    lv = [
+        (0.000, 2.0, 'MG II 3S 2SE', 1, F(1, 2), 0, F(1, 2)),
+        (35669.31, 2.0, 'MG II 3P 2PO 1/2', 1, F(1, 2), 1, F(1, 2)),
+        (35760.88, 4.0, 'MG II 3P 2PO 3/2', 1, F(3, 2), 1, F(1, 2)),
+        (69804.95, 2.0, 'MG II 4S 2SE', 1, F(1, 2), 0, F(1, 2)),
+        (71490.19, 10.0, 'MG II 3D 2DE', 1, None, 2, F(1, 2)),
+        (121267.64, 1.0, 'MG III 2P6 1SE', 2, F(0, 1), 0, F(0, 1)),
+    ]
+    lv_eg = [(E, g) for (E, g, *_r) in lv]
+    ln = [
+        (0, 2, 6.08e-01, LineType.PRD, 10.0, 300.0, 101),   # k 279.6 nm
+        (0, 1, 3.03e-01, LineType.PRD, 10.0, 300.0, 101),   # h 280.3 nm
+        (1, 3, 1.34e-01, LineType.CRD, 5.0, 100.0, 31),     # 293.7 nm
+        (2, 3, 1.34e-01, LineType.CRD, 5.0, 100.0, 31),     # 292.9 nm
+        (1, 4, 6.2e-01, LineType.CRD, 5.0, 100.0, 31),      # 279.2 nm
+        (2, 4, 5.8e-01, LineType.CRD, 5.0, 100.0, 31),      # 279.9 nm
+    ]
+    grad = _gamma_rad(lv_eg, ln)
+    levels = [AtomicLevel(E=E, g=g, label=lab, stage=st, J=J, L=L, S=S)
+              for (E, g, lab, st, J, L, S) in lv]
+    lines = []
+    for (i, j, f, t, qc, qw, nl) in ln:
+        lines.append(VoigtLine(
+            j=j, i=i, f=f, type=t,
+            quadrature=LinearCoreExpWings(qCore=qc, qWing=qw, Nlambda=nl),
+            broadening=LineBroadening(
+                natural=[RadiativeBroadening(gamma=grad[j])],
+                elastic=[VdwUnsold(vals=[1.0, 1.0]),
+                         QuadraticStarkBroadening(coeff=1.0)])))
+    continua, collisions = [], []
+    for i in range(5):
+        dE = (lv[5][0] - lv[i][0]) * Const.HC / Const.CM_TO_M
+        Z = 2
+        nEff = Z * np.sqrt(Const.ERydberg / dE)
+        edge_i = _lambda0_nm(lv_eg, i, 5)
+        alpha0 = _hyd_alpha0(nEff, Z, edge_i)
+        continua.append(HydrogenicContinuum(
+            j=5, i=i, NlambdaGen=20, alpha0=alpha0,
+            minWavelength=edge_i / 3.0))
+        collisions.append(SeatonCI(j=5, i=i, alpha0=alpha0))
+    for (i, j, f, *_r) in ln:
+        collisions.append(VanRegemorter(j=j, i=i, f=f))
+    Tgrid = [3000.0, 5000.0, 10000.0, 20000.0, 50000.0, 100000.0]
+    collisions.append(Omega(j=2, i=1, temperature=Tgrid, rates=[6.0] * 6))
+    return AtomicModel(element=PeriodicTable.element('Mg'), levels=levels,
+                       lines=lines, continua=continua, collisions=collisions)
+
+
+def NaI_atom() -> AtomicModel:
+    """5-level + continuum Na I: D1/D2 resonance doublet and the first
+    subordinate lines.  Energies/f-values from NIST ASD."""
+    lv = [
+        (0.000, 2.0, 'NA I 3S 2SE', 0, F(1, 2), 0, F(1, 2)),
+        (16956.17, 2.0, 'NA I 3P 2PO 1/2', 0, F(1, 2), 1, F(1, 2)),
+        (16973.37, 4.0, 'NA I 3P 2PO 3/2', 0, F(3, 2), 1, F(1, 2)),
+        (25739.99, 2.0, 'NA I 4S 2SE', 0, F(1, 2), 0, F(1, 2)),
+        (29172.89, 10.0, 'NA I 3D 2DE', 0, None, 2, F(1, 2)),
+        (41449.45, 1.0, 'NA II 2P6 1SE', 1, F(0, 1), 0, F(0, 1)),
+    ]
+    lv_eg = [(E, g) for (E, g, *_r) in lv]
+    ln = [
+        (0, 2, 6.41e-01, LineType.CRD, 15.0, 400.0, 81),    # D2 589.16 nm
+        (0, 1, 3.20e-01, LineType.CRD, 15.0, 400.0, 81),    # D1 589.76 nm
+        (1, 3, 1.63e-01, LineType.CRD, 5.0, 100.0, 21),     # 1138.4 nm
+        (2, 3, 1.63e-01, LineType.CRD, 5.0, 100.0, 21),     # 1140.6 nm
+        (1, 4, 8.5e-01, LineType.CRD, 5.0, 100.0, 21),      # 818.6 nm
+        (2, 4, 8.0e-01, LineType.CRD, 5.0, 100.0, 21),      # 819.7 nm
+    ]
+    grad = _gamma_rad(lv_eg, ln)
+    levels = [AtomicLevel(E=E, g=g, label=lab, stage=st, J=J, L=L, S=S)
+              for (E, g, lab, st, J, L, S) in lv]
+    lines = []
+    for (i, j, f, t, qc, qw, nl) in ln:
+        lines.append(VoigtLine(
+            j=j, i=i, f=f, type=t,
+            quadrature=LinearCoreExpWings(qCore=qc, qWing=qw, Nlambda=nl),
+            broadening=LineBroadening(
+                natural=[RadiativeBroadening(gamma=grad[j])],
+                elastic=[VdwUnsold(vals=[1.0, 1.0]),
+                         QuadraticStarkBroadening(coeff=1.0)])))
+    continua, collisions = [], []
+    for i in range(5):
+        dE = (lv[5][0] - lv[i][0]) * Const.HC / Const.CM_TO_M
+        Z = 1
+        nEff = Z * np.sqrt(Const.ERydberg / dE)
+        edge_i = _lambda0_nm(lv_eg, i, 5)
+        alpha0 = _hyd_alpha0(nEff, Z, edge_i)
+        continua.append(HydrogenicContinuum(
+            j=5, i=i, NlambdaGen=20, alpha0=alpha0,
+            minWavelength=edge_i / 3.0))
+        collisions.append(SeatonCI(j=5, i=i, alpha0=alpha0))
+    for (i, j, f, *_r) in ln:
+        collisions.append(VanRegemorter(j=j, i=i, f=f))
+    return AtomicModel(element=PeriodicTable.element('Na'), levels=levels,
+                       lines=lines, continua=continua, collisions=collisions)
+
+
+def He_atom() -> AtomicModel:
+    """Simplified 5-level + continuum He I (ground, 2s triplet/singlet,
+    2p triplet/singlet) with the 58.4 nm, 1083 nm and 2058 nm lines."""
+    lv = [
+        (0.000, 1.0, 'HE I 1S2 1SE', 0),
+        (159855.97, 3.0, 'HE I 1S2S 3SE', 0),
+        (166277.44, 1.0, 'HE I 1S2S 1SE', 0),
+        (169086.84, 9.0, 'HE I 1S2P 3PO', 0),
+        (171134.90, 3.0, 'HE I 1S2P 1PO', 0),
+        (198310.67, 2.0, 'HE II 1S 2SE', 1),
+    ]
+    ln = [
+        (0, 4, 2.762e-01, LineType.CRD, 5.0, 100.0, 21),    # 58.4 nm
+        (1, 3, 5.39e-01, LineType.CRD, 8.0, 150.0, 31),     # 1083.0 nm
+        (2, 4, 3.76e-01, LineType.CRD, 5.0, 100.0, 21),     # 2058.1 nm
+    ]
+    grad = _gamma_rad([(E, g) for (E, g, *_r) in lv], ln)
+    levels = [AtomicLevel(E=E, g=g, label=lab, stage=st)
+              for (E, g, lab, st) in lv]
+    lines = []
+    for (i, j, f, t, qc, qw, nl) in ln:
+        lines.append(VoigtLine(
+            j=j, i=i, f=f, type=t,
+            quadrature=LinearCoreExpWings(qCore=qc, qWing=qw, Nlambda=nl),
+            broadening=LineBroadening(
+                natural=[RadiativeBroadening(gamma=grad[j])],
+                elastic=[VdwUnsold(vals=[1.0, 0.0])])))
+    lv_eg = [(E, g) for (E, g, *_r) in lv]
+    continua, collisions = [], []
+    for i in range(5):
+        dE = (lv[5][0] - lv[i][0]) * Const.HC / Const.CM_TO_M
+        nEff = np.sqrt(Const.ERydberg / dE)
+        edge_i = _lambda0_nm(lv_eg, i, 5)
+        alpha0 = _hyd_alpha0(max(nEff, 0.7), 1, edge_i)
+        continua.append(HydrogenicContinuum(
+            j=5, i=i, NlambdaGen=20, alpha0=alpha0,
+            minWavelength=edge_i / 3.0))
+        collisions.append(SeatonCI(j=5, i=i, alpha0=alpha0))
+    for (i, j, f, *_r) in ln:
+        collisions.append(VanRegemorter(j=j, i=i, f=f))
+    return AtomicModel(element=PeriodicTable.element('He'), levels=levels,
+                       lines=lines, continua=continua, collisions=collisions)
+
+
+def _two_level_ion_model(elem: str, E0g: float, gGround: float,
+                         labelGround: str, Eion: float, gIon: float,
+                         labelIon: str) -> AtomicModel:
+    """Ground + ion-ground model: provides the LTE ionisation balance,
+    photoionisation background and electron contribution of a passive
+    species (the role these play in the reference's background/NLTE-ne
+    machinery)."""
+    lv = [(E0g, gGround, labelGround, 0), (Eion, gIon, labelIon, 1)]
+    lv_eg = [(E, g) for (E, g, *_r) in lv]
+    levels = [AtomicLevel(E=E, g=g, label=lab, stage=st)
+              for (E, g, lab, st) in lv]
+    dE = (Eion - E0g) * Const.HC / Const.CM_TO_M
+    nEff = np.sqrt(Const.ERydberg / dE)
+    edge = _lambda0_nm(lv_eg, 0, 1)
+    alpha0 = _hyd_alpha0(max(nEff, 0.8), 1, edge)
+    continua = [HydrogenicContinuum(j=1, i=0, NlambdaGen=15, alpha0=alpha0,
+                                    minWavelength=edge / 4.0)]
+    collisions = [SeatonCI(j=1, i=0, alpha0=alpha0)]
+    return AtomicModel(element=PeriodicTable.element(elem), levels=levels,
+                       lines=[], continua=continua, collisions=collisions)
+
+
+def C_atom() -> AtomicModel:
+    return _two_level_ion_model('C', 0.0, 9.0, 'C I 2P2 3PE', 90820.42,
+                                6.0, 'C II 2P 2PO')
+
+
+def N_atom() -> AtomicModel:
+    return _two_level_ion_model('N', 0.0, 4.0, 'N I 2P3 4SO', 117225.70,
+                                9.0, 'N II 2P2 3PE')
+
+
+def O_atom() -> AtomicModel:
+    return _two_level_ion_model('O', 0.0, 9.0, 'O I 2P4 3PE', 109837.02,
+                                4.0, 'O II 2P3 4SO')
+
+
+def Si_atom() -> AtomicModel:
+    return _two_level_ion_model('Si', 0.0, 9.0, 'SI I 3P2 3PE', 65747.76,
+                                6.0, 'SI II 3P 2PO')
+
+
+def Al_atom() -> AtomicModel:
+    return _two_level_ion_model('Al', 0.0, 6.0, 'AL I 3P 2PO', 48278.48,
+                                1.0, 'AL II 3S2 1SE')
+
+
+def S_atom() -> AtomicModel:
+    return _two_level_ion_model('S', 0.0, 9.0, 'S I 3P4 3PE', 75766.80,
+                                4.0, 'S II 3P3 4SO')
+
+
+def Fe_atom() -> AtomicModel:
+    return _two_level_ion_model('Fe', 0.0, 25.0, 'FE I 3D6 4S2 5DE',
+                                63737.70, 30.0, 'FE II 3D6 4S 6DE')
+
+
+def MgII_simplified_atom() -> AtomicModel:
+    return MgII_atom()
