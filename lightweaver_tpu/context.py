@@ -464,6 +464,11 @@ class Context:
                         for t in a.trans] for a in activeAtoms]
         self.rhoPrd += [[None] * len(a.trans) for a in detailedAtoms]
 
+        from .utils import InitialSolution
+        if initSol == InitialSolution.EscapeProbability:
+            from .escape import set_pops_escape_probability
+            set_pops_escape_probability(self)
+
         from .ops.ng import Ng, NgOptions
         if ngOptions is None:
             ngOptions = NgOptions(0, 0, 0)
