@@ -121,6 +121,11 @@ class IterConfig:
     wavelength: np.ndarray      # trace-time constant [Nlam]
     muz: np.ndarray             # [Nmu]
     wmu: np.ndarray             # [Nmu]
+    # Gamma/rate accumulation dtype.  The detailed-balance cancellations
+    # in Gamma amplify rounding noise ~1e4x through the statistical
+    # equilibrium solve, so f32 state needs f64 accumulation to converge
+    # below dPops ~ 1e-2 (f64 state: same as dtype).
+    accumDtype: object = None
 
 
 def _uv(cfg: IterConfig, params, ai: int, ti: int, t: TransStatic):
@@ -232,9 +237,9 @@ def build_iteration_fn(cfg: IterConfig):
                       - (Bnu1[:, None] - Bnu0[:, None]) / dtau).reshape(-1)
         else:
             Iupw_d = jnp.zeros(Nlam * Nmu, dt)
-        I_d, Psi_d = formal_sol_1d(chiD, SD, height, muzB, Iupw_d,
-                                   to_obs=False, method=cfg.formalSolver,
-                                   mode=cfg.recurrenceMode)
+        I_d, Psi_d, Ieffb_d = formal_sol_1d(
+            chiD, SD, height, muzB, Iupw_d, to_obs=False,
+            method=cfg.formalSolver, mode=cfg.recurrenceMode)
 
         # up sweep (toObs=True, d=1): lower BC
         chiU = chiTot[:, :, 1].reshape(-1, Nk)
@@ -249,15 +254,17 @@ def build_iteration_fn(cfg: IterConfig):
                       - (BnuN1[:, None] - BnuN[:, None]) / dtau).reshape(-1)
         else:
             Iupw_u = jnp.zeros(Nlam * Nmu, dt)
-        I_u, Psi_u = formal_sol_1d(chiU, SU, height, muzB, Iupw_u,
-                                   to_obs=True, method=cfg.formalSolver,
-                                   mode=cfg.recurrenceMode)
+        I_u, Psi_u, Ieffb_u = formal_sol_1d(
+            chiU, SU, height, muzB, Iupw_u, to_obs=True,
+            method=cfg.formalSolver, mode=cfg.recurrenceMode)
 
         I = jnp.stack([I_d.reshape(Nlam, Nmu, Nk),
                        I_u.reshape(Nlam, Nmu, Nk)], axis=2)
         Psi = jnp.stack([Psi_d.reshape(Nlam, Nmu, Nk),
                          Psi_u.reshape(Nlam, Nmu, Nk)], axis=2)
-        return I, Psi
+        IeffBase = jnp.stack([Ieffb_d.reshape(Nlam, Nmu, Nk),
+                              Ieffb_u.reshape(Nlam, Nmu, Nk)], axis=2)
+        return I, Psi, IeffBase
 
     def level_sum_on_window(arrs, a: AtomStatic, t: TransStatic, items,
                             signed):
@@ -285,24 +292,30 @@ def build_iteration_fn(cfg: IterConfig):
         Jdag = params['J']
 
         chiTot, etaTot, chiT, etaT, UjiT = gather(params)
-        S = ((etaTot
-              + params['bgSca'][:, None, None, :] * Jdag[:, None, None, :])
-             / chiTot)
-        I, Psi = formal_solve(params, chiTot, S)
+        srcNum = (etaTot
+                  + params['bgSca'][:, None, None, :] * Jdag[:, None, None, :])
+        S = srcNum / chiTot
+        I, Psi, IeffBase = formal_solve(params, chiTot, S)
         if lambdaIterate:
             Psi = jnp.zeros_like(Psi)
+            IeffBase = I
 
         Jnew = jnp.einsum('lmdk,m->lk', I, 0.5 * wmu)
         dJ = jnp.max(jnp.abs(1.0 - jnp.where(Jnew != 0.0, Jdag / Jnew, 1.0)))
 
+        adt = cfg.accumDtype if cfg.accumDtype is not None else dt
         GammaOut, RijOut, RjiOut = [], [], []
         for ai, a in enumerate(cfg.activeAtoms):
-            Gamma = params['crsw'] * params['C'][ai]
+            Gamma = (params['crsw'] * params['C'][ai]).astype(adt)
             etaAtom = jnp.zeros((Nlam, Nmu, 2, Nk), dt)
             for ti, t in enumerate(a.trans):
                 etaAtom = etaAtom.at[t.Nblue:t.Nred].add(
                     jnp.broadcast_to(etaT[ai][ti], (t.W, Nmu, 2, Nk)))
-            Ieff = I - Psi * etaAtom
+            # compensated MALI effective intensity: algebraically equal to
+            # I - Psi*etaAtom, but assembled from non-cancelling terms so
+            # the optically-thick regime (Psi*eta ~ I) keeps full relative
+            # precision even in f32
+            Ieff = IeffBase + Psi * (srcNum - etaAtom)
 
             Rij, Rji = [], []
             for ti, t in enumerate(a.trans):
@@ -320,19 +333,24 @@ def build_iteration_fn(cfg: IterConfig):
                                           a.ULists[t.i], False)
                 U_j = level_sum_on_window(UjiT[ai], a, t,
                                           a.ULists[t.j], False)
-                wmu2 = 0.5 * wmu
-                integ_ij = (Uji + Vji * Ieff_w) - Psi_w * chi_i * U_j
-                integ_ji = (Vij * Ieff_w) - Psi_w * chi_j * U_i
-                Gij = jnp.einsum('lmdk,lk,m->k', integ_ij, wla, wmu2)
-                Gji = jnp.einsum('lmdk,lk,m->k', integ_ji, wla, wmu2)
+                wmu2 = (0.5 * wmu).astype(adt)
+                wlaA = wla.astype(adt)
+                integ_ij = ((Uji + Vji * Ieff_w)
+                            - Psi_w * chi_i * U_j).astype(adt)
+                integ_ji = ((Vij * Ieff_w)
+                            - Psi_w * chi_j * U_i).astype(adt)
+                Gij = jnp.einsum('lmdk,lk,m->k', integ_ij, wlaA, wmu2)
+                Gji = jnp.einsum('lmdk,lk,m->k', integ_ji, wlaA, wmu2)
                 Gamma = Gamma.at[t.i, t.j].add(Gij)
                 Gamma = Gamma.at[t.j, t.i].add(Gji)
-                Rij.append(jnp.einsum('lmdk,lk,m->k', I_w * Vij, wla, wmu2))
-                Rji.append(jnp.einsum('lmdk,lk,m->k', Uji + I_w * Vji, wla,
+                Rij.append(jnp.einsum('lmdk,lk,m->k',
+                                      (I_w * Vij).astype(adt), wlaA, wmu2))
+                Rji.append(jnp.einsum('lmdk,lk,m->k',
+                                      (Uji + I_w * Vji).astype(adt), wlaA,
                                       wmu2))
 
             # finalise: diagonal = -column sums of off-diagonals
-            eye = jnp.eye(a.Nlevel, dtype=dt)[:, :, None]
+            eye = jnp.eye(a.Nlevel, dtype=adt)[:, :, None]
             Gamma = Gamma * (1.0 - eye)
             colSum = jnp.sum(Gamma, axis=0)
             Gamma = Gamma - eye * colSum[None, :, :]
@@ -393,7 +411,7 @@ class Context:
                  recurrenceMode: str = 'scan',
                  backgroundProvider=None,
                  crswCallback=None,
-                 dtype=None):
+                 dtype=None, accumDtype=None):
         self.atmos = atmos
         self.spect = spect
         self.eqPops = eqPops
@@ -405,6 +423,10 @@ class Context:
             dtype = (jnp.float64 if jax.config.read('jax_enable_x64')
                      else jnp.float32)
         self.dtype = dtype
+        if accumDtype is None:
+            accumDtype = (jnp.float64 if (dtype == jnp.float32
+                          and jax.config.read('jax_enable_x64')) else dtype)
+        self.accumDtype = accumDtype
         radSet = spect.radSet
 
         if atmos.muz is None:
@@ -424,7 +446,8 @@ class Context:
             upperThermalised=isinstance(atmos.upperBc, ThermalisedRadiation),
             formalSolver=formalSolver, recurrenceMode=recurrenceMode,
             dtype=dtype, wavelength=np.asarray(spect.wavelength),
-            muz=np.asarray(atmos.muz), wmu=np.asarray(atmos.wmu))
+            muz=np.asarray(atmos.muz), wmu=np.asarray(atmos.wmu),
+            accumDtype=accumDtype)
 
         if backgroundProvider is None:
             backgroundProvider = basic_background
@@ -664,7 +687,8 @@ class Context:
             st = self.popsState[ai]
             nTotal = jnp.asarray(
                 self.eqPops.atomicPops[a.model.element].nTotal, self.dtype)
-            st['n'] = _stat_eq_solve(self._Gamma[ai], st['n'], nTotal)
+            st['n'] = _stat_eq_solve(self._Gamma[ai], st['n'],
+                                     nTotal).astype(self.dtype)
 
         dNeMax = None
         if self.conserveCharge:

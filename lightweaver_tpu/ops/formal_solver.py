@@ -191,19 +191,26 @@ def _sweep_coeffs_linear(chi, S, ds):
     """Affine coefficients for piecewise-linear short characteristics.
 
     chi, S: [B, N] in sweep order; ds: [B, N-1] path length of interval
-    (m, m+1) already divided by |mu|.  Returns A, b, Psi ([B, N]); Psi is
-    not yet divided by chi.
+    (m, m+1) already divided by |mu|.  Returns A, b, Psi, bNL ([B, N]);
+    Psi is not yet divided by chi.  bNL is the non-local part of b,
+    bNL = b - Psi*chi*S_0, expressed WITHOUT the cancelling subtraction:
+    for the linear step b - (w0 - w1/dtau) S_0 = (w1/dtau) S_uw, so the
+    MALI effective intensity Ieff = A I_uw + bNL + Psi*chi*(S_0 - S_atom)
+    avoids the catastrophic I - Psi*eta cancellation in optically-thick
+    regions (which stalls f32 at dJ ~ 1e-2).
     ref: /root/reference/Source/FormalScalar.cpp:136-207
     """
     # dtau of interval (m-1, m), defined for m >= 1
     dtau = 0.5 * (chi[..., :-1] + chi[..., 1:]) * ds       # [B, N-1]
     dS = (S[..., :-1] - S[..., 1:]) / dtau                 # (S_uw - S_m)/dtau
     w0, w1 = w2(dtau)
-    A = jnp.pad(1.0 - w0, [(0, 0)] * (chi.ndim - 1) + [(1, 0)])
+    pad0 = [(0, 0)] * (chi.ndim - 1) + [(1, 0)]
+    A = jnp.pad(1.0 - w0, pad0)
     b_interior = w0 * S[..., 1:] + w1 * dS
-    b = jnp.pad(b_interior, [(0, 0)] * (chi.ndim - 1) + [(1, 0)])
-    Psi = jnp.pad(w0 - w1 / dtau, [(0, 0)] * (chi.ndim - 1) + [(1, 0)])
-    return A, b, Psi
+    b = jnp.pad(b_interior, pad0)
+    Psi = jnp.pad(w0 - w1 / dtau, pad0)
+    bNL = jnp.pad((w1 / dtau) * S[..., :-1], pad0)
+    return A, b, Psi, bNL
 
 
 def _one_sided_deriv(y0, y1, ds):
@@ -250,6 +257,9 @@ def _sweep_coeffs_bezier3(chi, S, ds):
              + gamma * CuwS + delta * C0S)
     A_bez = edt
     Psi_bez = beta + delta
+    # non-local part of b: b - (beta+delta) S_0 without cancellation
+    bNL_bez = (alpha * S[..., :-2] + gamma * CuwS
+               - delta * (dt_uw / 3.0) * dS[..., 1:-1])
 
     # Final point: linear step with plain-average dtau.
     dtau_end = 0.5 * (chi[..., -1] + chi[..., -2]) * ds[..., -1]
@@ -258,11 +268,13 @@ def _sweep_coeffs_bezier3(chi, S, ds):
     A_end = (1.0 - w0e)[..., None]
     b_end = (w0e * S[..., -1] - w1e * dS_end)[..., None]
     Psi_end = (w0e - w1e / dtau_end)[..., None]
+    bNL_end = ((w1e / dtau_end) * S[..., -2])[..., None]
 
     A = jnp.pad(jnp.concatenate([A_bez, A_end], axis=-1), pad0)
     b = jnp.pad(jnp.concatenate([b_bez, b_end], axis=-1), pad0)
     Psi = jnp.pad(jnp.concatenate([Psi_bez, Psi_end], axis=-1), pad0)
-    return A, b, Psi
+    bNL = jnp.pad(jnp.concatenate([bNL_bez, bNL_end], axis=-1), pad0)
+    return A, b, Psi, bNL
 
 
 def _sweep_coeffs_besser(chi, S, ds):
@@ -291,6 +303,7 @@ def _sweep_coeffs_besser(chi, S, ds):
     A_bes = edt
     b_bes = M * S_uw + O * S_0 + Cc * SC
     Psi_bes = O + Cc
+    bNL_bes = M * S_uw + Cc * (SC - S_0)
 
     dtau_end = 0.5 * (chi[..., -1] + chi[..., -2]) * ds[..., -1]
     dS_end = (S[..., -1] - S[..., -2]) / dtau_end
@@ -298,11 +311,13 @@ def _sweep_coeffs_besser(chi, S, ds):
     A_end = (1.0 - w0e)[..., None]
     b_end = (w0e * S[..., -1] - w1e * dS_end)[..., None]
     Psi_end = (w0e - w1e / dtau_end)[..., None]
+    bNL_end = ((w1e / dtau_end) * S[..., -2])[..., None]
 
     A = jnp.pad(jnp.concatenate([A_bes, A_end], axis=-1), pad0)
     b = jnp.pad(jnp.concatenate([b_bes, b_end], axis=-1), pad0)
     Psi = jnp.pad(jnp.concatenate([Psi_bes, Psi_end], axis=-1), pad0)
-    return A, b, Psi
+    bNL = jnp.pad(jnp.concatenate([bNL_bes, bNL_end], axis=-1), pad0)
+    return A, b, Psi, bNL
 
 
 _COEFF_FNS = {
@@ -345,17 +360,27 @@ def formal_sol_1d(chi, S, height, muz, I_upw, to_obs=True,
         chi_s, S_s, h_s = chi, S, height
 
     ds = jnp.abs(h_s[..., 1:] - h_s[..., :-1]) / muz[..., None]
-    A, b, Psi = _COEFF_FNS[method](chi_s, S_s, ds)
+    A, b, Psi, bNL = _COEFF_FNS[method](chi_s, S_s, ds)
     b = b.at[..., 0].set(I_upw)
     I_s = _affine_solve(A, b, mode=mode)
+
+    if compute_operator:
+        # Ieff base = I - Psi*chi*S_0 assembled WITHOUT the cancelling
+        # subtraction: A*I_upwind + non-local source terms.  At the sweep
+        # start Psi = 0 and Ieff = I = I_upw.
+        I_shift = jnp.concatenate(
+            [I_upw[..., None], I_s[..., :-1]], axis=-1)
+        ieffb = A * I_shift + bNL.at[..., 0].set(I_upw)
 
     if to_obs:
         I = I_s[..., ::-1]
         Psi = Psi[..., ::-1]
+        if compute_operator:
+            ieffb = ieffb[..., ::-1]
     else:
         I = I_s
 
     if compute_operator:
         Psi = Psi / chi
-        return I, Psi
-    return I, None
+        return I, Psi, ieffb
+    return I, None, None

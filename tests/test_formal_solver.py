@@ -59,7 +59,7 @@ def make_problem(N=82, B=6, seed=0):
 @pytest.mark.parametrize('to_obs', [True, False])
 def test_linear_matches_sequential_reference(to_obs):
     chi, S, height, muz, I0 = make_problem()
-    I, Psi = formal_sol_1d(jnp.asarray(chi), jnp.asarray(S),
+    I, Psi, _ = formal_sol_1d(jnp.asarray(chi), jnp.asarray(S),
                            jnp.asarray(height), jnp.asarray(muz),
                            jnp.asarray(I0), to_obs=to_obs,
                            method='piecewise_linear_1d')
@@ -79,7 +79,7 @@ def test_constant_source_function(method):
     S = np.full((B, N), 7.3e-9)
     muz = np.array([1.0, 0.5, 0.3])
     I0 = np.zeros(B)
-    I, Psi = formal_sol_1d(jnp.asarray(chi), jnp.asarray(S),
+    I, Psi, _ = formal_sol_1d(jnp.asarray(chi), jnp.asarray(S),
                            jnp.asarray(height), jnp.asarray(muz),
                            jnp.asarray(I0), to_obs=False, method=method)
     # tau at depth k measured from the top along the ray
@@ -95,7 +95,7 @@ def test_optically_thick_saturates_to_S(method):
     chi = np.full((B, N), 1.0)   # enormous optical depth
     S = np.full((B, N), 4.2e-9)
     muz = np.array([0.9])
-    I, Psi = formal_sol_1d(jnp.asarray(chi), jnp.asarray(S),
+    I, Psi, _ = formal_sol_1d(jnp.asarray(chi), jnp.asarray(S),
                            jnp.asarray(height), jnp.asarray(muz),
                            jnp.asarray([0.0]), to_obs=True, method=method)
     # emergent intensity (k=0) should equal S
@@ -109,8 +109,8 @@ def test_parallel_recurrence_matches_scan(method):
     chi, S, height, muz, I0 = make_problem(N=97, B=4, seed=3)
     args = (jnp.asarray(chi), jnp.asarray(S), jnp.asarray(height),
             jnp.asarray(muz), jnp.asarray(I0))
-    I_a, Psi_a = formal_sol_1d(*args, to_obs=True, method=method, mode='scan')
-    I_b, Psi_b = formal_sol_1d(*args, to_obs=True, method=method,
+    I_a, Psi_a, _ = formal_sol_1d(*args, to_obs=True, method=method, mode='scan')
+    I_b, Psi_b, _ = formal_sol_1d(*args, to_obs=True, method=method,
                                mode='parallel')
     np.testing.assert_allclose(np.asarray(I_a), np.asarray(I_b), rtol=1e-10)
 
@@ -128,9 +128,9 @@ def test_higher_order_close_to_linear_on_fine_grid(method):
     I0 = np.array([0.0])
     args = (jnp.asarray(chi), jnp.asarray(S), jnp.asarray(height),
             jnp.asarray(muz), jnp.asarray(I0))
-    I_lin, _ = formal_sol_1d(*args, to_obs=True,
+    I_lin, _, _ = formal_sol_1d(*args, to_obs=True,
                              method='piecewise_linear_1d')
-    I_ho, _ = formal_sol_1d(*args, to_obs=True, method=method)
+    I_ho, _, _ = formal_sol_1d(*args, to_obs=True, method=method)
     np.testing.assert_allclose(np.asarray(I_ho), np.asarray(I_lin),
                                rtol=2e-4, atol=1e-16)
 
