@@ -75,6 +75,15 @@ class Atmosphere:
     upperBc: BoundaryCondition = field(default_factory=ZeroRadiation)
     stratifications: Optional[Stratifications] = None
     Ndim: int = 1
+    # 2D extensions (Ndim == 2): flattened [Nz*Nx] primary arrays plus
+    # the x grid and velocity components
+    x: Optional[np.ndarray] = None
+    Nz: Optional[int] = None
+    Nx: Optional[int] = None
+    vx: Optional[np.ndarray] = None
+    vz: Optional[np.ndarray] = None
+    xLowerBc: BoundaryCondition = field(default_factory=PeriodicRadiation)
+    xUpperBc: BoundaryCondition = field(default_factory=PeriodicRadiation)
 
     muz: np.ndarray = field(default=None, repr=False)
     mux: np.ndarray = field(default=None, repr=False)
@@ -235,9 +244,45 @@ class Atmosphere:
         self.mux = np.sqrt(1.0 - self.muz ** 2)
 
     def vlos_mu(self) -> np.ndarray:
-        """Projected bulk velocity mu_z * v_z [Nrays, Nspace].
-        ref: /root/reference/Source/Atmosphere.cpp:5-45 (1D case)"""
+        """Projected bulk velocity [Nrays, Nspace]: mu_z v_z (1D) or
+        mu_x v_x + mu_z v_z (2D).
+        ref: /root/reference/Source/Atmosphere.cpp:5-45"""
+        if self.Ndim == 2:
+            return (self.mux[:, None] * self.vx[None, :]
+                    + self.muz[:, None] * self.vz[None, :])
         return self.muz[:, None] * self.vlos[None, :]
+
+    @classmethod
+    def make_2d(cls, height: np.ndarray, x: np.ndarray,
+                temperature: np.ndarray, vx: np.ndarray, vz: np.ndarray,
+                vturb: np.ndarray, ne: np.ndarray, nHTot: np.ndarray,
+                B: Optional[np.ndarray] = None,
+                gammaB: Optional[np.ndarray] = None,
+                chiB: Optional[np.ndarray] = None,
+                lowerBc: Optional[BoundaryCondition] = None,
+                upperBc: Optional[BoundaryCondition] = None) -> 'Atmosphere':
+        """2D (x, z) cartesian atmosphere with periodic x.
+
+        height: [Nz] decreasing; x: [Nx] increasing; all field arrays
+        [Nz, Nx] (flattened internally, k = z*Nx + x).
+        ref: /root/reference/lightweaver/atmosphere.py:1161+"""
+        Nz, Nx = temperature.shape
+        flat = lambda a: (np.asarray(a, np.float64).reshape(-1)
+                          if a is not None else None)
+        heightFull = np.repeat(np.asarray(height, np.float64), Nx)
+        return cls(
+            height=heightFull, temperature=flat(temperature),
+            vlos=flat(vz), vturb=flat(vturb), ne=flat(ne), nHTot=flat(nHTot),
+            B=flat(B), gammaB=flat(gammaB), chiB=flat(chiB),
+            lowerBc=lowerBc or ThermalisedRadiation(),
+            upperBc=upperBc or ZeroRadiation(),
+            Ndim=2, x=np.asarray(x, np.float64), Nz=Nz, Nx=Nx,
+            vx=flat(vx), vz=flat(vz))
+
+    @property
+    def zGrid(self) -> np.ndarray:
+        """The z (height) axis [Nz] for 2D atmospheres."""
+        return self.height[::self.Nx] if self.Ndim == 2 else self.height
 
     def B_projections(self):
         """cos(gamma), cos(2 chi), sin(2 chi) projections of the magnetic

@@ -126,6 +126,12 @@ class IterConfig:
     # equilibrium solve, so f32 state needs f64 accumulation to converge
     # below dPops ~ 1e-2 (f64 state: same as dtype).
     accumDtype: object = None
+    # 2D extensions
+    Ndim: int = 1
+    Nz: Optional[int] = None
+    Nx: Optional[int] = None
+    zGrid: Optional[np.ndarray] = None
+    geom2d: Optional[Dict] = None       # (mu, toObs) -> geometry dict
 
 
 def _uv(cfg: IterConfig, params, ai: int, ti: int, t: TransStatic):
@@ -220,6 +226,43 @@ def build_iteration_fn(cfg: IterConfig):
             UjiT.append(UjiA)
         return chiTot, etaTot, chiT, etaT, UjiT
 
+    def formal_solve_2d(params, chiTot, S):
+        """2D plane-sweep formal solution per (mu, direction), flattened
+        back onto the [Nlam, Nmu, 2, Nk] layout (k = z*Nx + x)."""
+        from .ops.formal_solver2d import formal_sol_2d
+        Nz, Nx = cfg.Nz, cfg.Nx
+        T2 = params['temperature'].reshape(Nz, Nx)
+        zG = jnp.asarray(cfg.zGrid, dt)
+        Iparts, PsiParts = [], []
+        for d, toObs in ((0, False), (1, True)):
+            Imu, PsiMu = [], []
+            for mu in range(Nmu):
+                geom = cfg.geom2d[(mu, toObs)]
+                chi_m = chiTot[:, mu, d].reshape(Nlam, Nz, Nx)
+                S_m = S[:, mu, d].reshape(Nlam, Nz, Nx)
+                if toObs and cfg.lowerThermalised:
+                    dtau = (0.5 * (chi_m[:, -1] + chi_m[:, -2])
+                            * jnp.abs(zG[-1] - zG[-2]) / muz[mu])
+                    Bn = planck_nu(T2[-1][None, :], lamGrid[:, None])
+                    Bn1 = planck_nu(T2[-2][None, :], lamGrid[:, None])
+                    Iupw = Bn - (Bn1 - Bn) / dtau
+                elif (not toObs) and cfg.upperThermalised:
+                    dtau = (0.5 * (chi_m[:, 0] + chi_m[:, 1])
+                            * jnp.abs(zG[0] - zG[1]) / muz[mu])
+                    Bn = planck_nu(T2[0][None, :], lamGrid[:, None])
+                    Bn1 = planck_nu(T2[1][None, :], lamGrid[:, None])
+                    Iupw = Bn - (Bn1 - Bn) / dtau
+                else:
+                    Iupw = jnp.zeros((Nlam, Nx), dt)
+                I_m, Psi_m = formal_sol_2d(chi_m, S_m, geom, Iupw)
+                Imu.append(I_m.reshape(Nlam, Nk))
+                PsiMu.append(Psi_m.reshape(Nlam, Nk))
+            Iparts.append(jnp.stack(Imu, axis=1))
+            PsiParts.append(jnp.stack(PsiMu, axis=1))
+        I = jnp.stack(Iparts, axis=2)           # [Nlam, Nmu, 2, Nk]
+        Psi = jnp.stack(PsiParts, axis=2)
+        return I, Psi
+
     def formal_solve(params, chiTot, S):
         T = params['temperature']
         height = params['height']
@@ -295,7 +338,12 @@ def build_iteration_fn(cfg: IterConfig):
         srcNum = (etaTot
                   + params['bgSca'][:, None, None, :] * Jdag[:, None, None, :])
         S = srcNum / chiTot
-        I, Psi, IeffBase = formal_solve(params, chiTot, S)
+        if cfg.Ndim == 2:
+            I, Psi = formal_solve_2d(params, chiTot, S)
+            # 2D path: no compensated split yet; algebraically equivalent
+            IeffBase = I - Psi * srcNum
+        else:
+            I, Psi, IeffBase = formal_solve(params, chiTot, S)
         if lambdaIterate:
             Psi = jnp.zeros_like(Psi)
             IeffBase = I
@@ -358,7 +406,10 @@ def build_iteration_fn(cfg: IterConfig):
             RijOut.append(Rij)
             RjiOut.append(Rji)
 
-        Iout = I[:, :, 1, 0]        # emergent (upgoing, top)
+        if cfg.Ndim == 2:
+            Iout = I[:, :, 1, :cfg.Nx]   # emergent upgoing top plane
+        else:
+            Iout = I[:, :, 1, 0]    # emergent (upgoing, top)
         out = {'Gamma': GammaOut, 'Rij': RijOut, 'Rji': RjiOut,
                'J': Jnew, 'I': Iout, 'dJ': dJ}
         if storeDepthData:
@@ -448,6 +499,21 @@ class Context:
             dtype=dtype, wavelength=np.asarray(spect.wavelength),
             muz=np.asarray(atmos.muz), wmu=np.asarray(atmos.wmu),
             accumDtype=accumDtype)
+
+        if atmos.Ndim == 2:
+            from .ops.formal_solver2d import build_geometry_2d
+            self.cfg.Ndim = 2
+            self.cfg.Nz = atmos.Nz
+            self.cfg.Nx = atmos.Nx
+            self.cfg.zGrid = np.asarray(atmos.zGrid)
+            geom = {}
+            for mu in range(atmos.Nrays):
+                for toObs in (False, True):
+                    sgn = 1.0 if toObs else -1.0
+                    geom[(mu, toObs)] = build_geometry_2d(
+                        np.asarray(atmos.x), np.asarray(atmos.zGrid),
+                        sgn * atmos.mux[mu], sgn * atmos.muz[mu], toObs)
+            self.cfg.geom2d = geom
 
         if backgroundProvider is None:
             backgroundProvider = basic_background

@@ -1,0 +1,182 @@
+"""2D short-characteristics formal solver (x periodic, z stratified).
+
+TPU-native re-design of the reference's plane-by-plane sweep
+(ref: /root/reference/Source/FormalScalar2d.cpp:434-706, intersection
+geometry :1188-1327):
+
+- The upwind-intersection geometry (which face, interpolation fraction,
+  path length) depends only on (grid, mux, muz), so it is precomputed
+  host-side as dense arrays instead of C++ stencil objects.
+- Cells whose upwind point lies on the previous z-plane are data-parallel
+  over x.  Cells whose upwind point lies on the x side face couple to the
+  SAME plane's previous column: I(k,j) = A_j I(k,j-dj) + b_j -- an
+  affine recurrence along x.  With periodic x this is a CYCLIC affine
+  system, which we solve exactly with an associative ring scan; this
+  replaces (and improves on) the reference's truncated long-characteristic
+  substeps at the periodic seam.
+- The outer z sweep is a lax.scan carrying the previous plane, batched
+  over wavelength.
+"""
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .formal_solver import w2
+
+
+def build_geometry_2d(x, z, mux, muz, toObs):
+    """Upwind-intersection geometry for one ray direction over the grid.
+
+    x: [Nx] (increasing), z: [Nz] (decreasing with index, like height);
+    mux, muz: ray direction for this (mu, toObs) (muz sign included).
+    Returns dict of numpy arrays indexed in SWEEP order over planes
+    (sweepZ[0] is the starting plane):
+      axisZ [Nz-1, Nx] bool: upwind on x side face (couples in-plane),
+      w      [Nz-1, Nx]: interpolation weight of the previous plane,
+      ds     [Nz-1, Nx]: upwind path length,
+      sweepZ [Nz]: z indices in sweep order,
+      dj: x-sweep direction.
+    ref: /root/reference/Source/FormalScalar2d.cpp:102-142
+    """
+    Nx, Nz = len(x), len(z)
+    dj = 1 if mux >= 0 else -1
+    # sweep order: toObs sweeps towards larger height (decreasing k)
+    if toObs:
+        sweepZ = np.arange(Nz - 1, -1, -1)
+    else:
+        sweepZ = np.arange(Nz)
+
+    dx = np.empty(Nx)
+    if dj > 0:
+        dx[1:] = x[1:] - x[:-1]
+        dx[0] = x[1] - x[0]                      # periodic: uniform seam
+    else:
+        dx[:-1] = x[1:] - x[:-1]
+        dx[-1] = x[-1] - x[-2]
+
+    axisZ = np.zeros((Nz - 1, Nx), bool)
+    wgt = np.zeros((Nz - 1, Nx))
+    ds = np.zeros((Nz - 1, Nx))
+    for m in range(1, Nz):
+        k = sweepZ[m]
+        kPrev = sweepZ[m - 1]
+        dz = abs(z[k] - z[kPrev])
+        tz = dz / max(abs(muz), 1e-30)
+        for j in range(Nx):
+            tx = (dx[j] / abs(mux)) if mux != 0.0 else np.inf
+            if tx < tz:
+                # hits the x side face: interpolate along z on column j-dj
+                r = tx / tz                       # in (0, 1)
+                axisZ[m - 1, j] = True
+                wgt[m - 1, j] = r                 # weight of previous plane
+                ds[m - 1, j] = tx
+            else:
+                # hits the previous z-plane: interpolate along x
+                q = (tz / tx) if np.isfinite(tx) else 0.0
+                axisZ[m - 1, j] = False
+                wgt[m - 1, j] = q                 # weight of column j-dj
+                ds[m - 1, j] = tz
+    return {'axisZ': axisZ, 'w': wgt, 'ds': ds, 'sweepZ': sweepZ, 'dj': dj}
+
+
+def _ring_affine_solve(A, b):
+    """Solve the cyclic affine recurrence I_i = A_i I_{i-1} + b_i around a
+    ring (indices in ring order).  A, b: [..., N]. Returns I [..., N]."""
+    def compose(u, v):
+        Au, bu = u
+        Av, bv = v
+        return Au * Av, Av * bu + bv
+
+    As = jnp.moveaxis(A, -1, 0)
+    bs = jnp.moveaxis(b, -1, 0)
+    Ac, bc = jax.lax.associative_scan(compose, (As, bs), axis=0)
+    Atot = Ac[-1]
+    btot = bc[-1]
+    Ilast = btot / (1.0 - Atot)
+    I = Ac * Ilast[None] + bc
+    return jnp.moveaxis(I, 0, -1)
+
+
+@partial(jax.jit, static_argnames=('dj',))
+def _sweep_2d(chi, S, geomAxisZ, geomW, geomDs, Iupw, dj):
+    """z-plane sweep for one ray group.
+
+    chi, S: [B, Nzs, Nx] already reordered into sweep order along axis 1;
+    geom*: [Nzs-1, Nx]; Iupw: [B, Nx] starting-plane intensity.
+    Returns I, Psi (undivided): [B, Nzs, Nx] in sweep order.
+    """
+    B, Nzs, Nx = chi.shape
+    jPrev = (jnp.arange(Nx) - dj) % Nx
+    ringOrder = jnp.arange(Nx) if dj > 0 else jnp.arange(Nx)[::-1]
+    invOrder = jnp.argsort(ringOrder)
+
+    def plane_step(Iprev, inputs):
+        chiP, chiC, SP, SC, axisZ, w, ds = inputs
+        # chiP/SP/Iprev: previous plane [B, Nx]; chiC/SC: current [B, Nx].
+        # axis-Z (side face): upwind = (1-w)*(current, j-dj) + w*(prev, j-dj)
+        # axis-X (prev plane): upwind = (1-w)*(prev, j) + w*(prev, j-dj)
+        chiPP = chiP[:, jPrev]
+        SPP = SP[:, jPrev]
+        IPP = Iprev[:, jPrev]
+
+        chiUw = jnp.where(axisZ,
+                          (1.0 - w) * chiC[:, jPrev] + w * chiPP,
+                          (1.0 - w) * chiP + w * chiPP)
+        SUw = jnp.where(axisZ,
+                        (1.0 - w) * SC[:, jPrev] + w * SPP,
+                        (1.0 - w) * SP + w * SPP)
+
+        dtau = 0.5 * (chiUw + chiC) * ds
+        w0, w1 = w2(dtau)
+        c1 = (SUw - SC) / dtau
+        base = w0 * SC + w1 * c1
+
+        # known part of (1-w0)*Iuw; the (current, j-dj) term is the
+        # in-plane affine coupling with coefficient A
+        IuwX = (1.0 - w) * Iprev + w * IPP
+        bKnown = jnp.where(axisZ,
+                           base + (1.0 - w0) * w * IPP,
+                           base + (1.0 - w0) * IuwX)
+        A = jnp.where(axisZ, (1.0 - w0) * (1.0 - w), 0.0)
+
+        # cyclic affine solve along x in ring order
+        Aring = A[:, ringOrder]
+        bring = bKnown[:, ringOrder]
+        Iring = _ring_affine_solve(Aring, bring)
+        Icur = Iring[:, invOrder]
+
+        Psi = w0 - w1 / dtau
+        return Icur, (Icur, Psi)
+
+    inputs = (chi[:, :-1].swapaxes(0, 1), chi[:, 1:].swapaxes(0, 1),
+              S[:, :-1].swapaxes(0, 1), S[:, 1:].swapaxes(0, 1),
+              geomAxisZ, geomW, geomDs)
+    _, (Iseq, PsiSeq) = jax.lax.scan(plane_step, Iupw, inputs)
+    I = jnp.concatenate([Iupw[:, None, :], Iseq.swapaxes(0, 1)], axis=1)
+    Psi = jnp.concatenate([jnp.zeros((B, 1, Nx), chi.dtype),
+                           PsiSeq.swapaxes(0, 1)], axis=1)
+    return I, Psi
+
+
+def formal_sol_2d(chi, S, geom, Iupw):
+    """2D formal solution for one (mu, toObs) ray over a [Nz, Nx] grid.
+
+    chi, S: [B, Nz, Nx] (natural z order, index 0 = top); geom from
+    build_geometry_2d; Iupw: [B, Nx] boundary intensity at the sweep
+    start plane.  Returns I, Psi ([B, Nz, Nx], natural order; Psi
+    divided by chi).
+    """
+    sweepZ = geom['sweepZ']
+    chi_s = chi[:, sweepZ]
+    S_s = S[:, sweepZ]
+    I_s, Psi_s = _sweep_2d(chi_s, S_s,
+                           jnp.asarray(geom['axisZ']),
+                           jnp.asarray(geom['w'], chi.dtype),
+                           jnp.asarray(geom['ds'], chi.dtype),
+                           Iupw, int(geom['dj']))
+    inv = np.argsort(sweepZ)
+    I = I_s[:, inv]
+    Psi = Psi_s[:, inv] / chi
+    return I, Psi
