@@ -4,8 +4,7 @@ quadrature.
 Setup-time numpy structures; the Context converts these to device arrays.
 ref: /root/reference/lightweaver/atmosphere.py (1636 LoC); this is a
 re-design focused on the 1D/2D plane-parallel cases.  Hydrostatic
-reconstruction via an EOS (Wittmann) is not yet wired in: ne and
-nHTot/hydrogenPops must be supplied.
+reconstruction uses the Saha EOS (eos.py) when ne/nHTot are not given.
 """
 from dataclasses import dataclass, field
 from enum import Enum
@@ -129,11 +128,13 @@ class Atmosphere:
                 upperBc: Optional[BoundaryCondition] = None,
                 abundance=None,
                 verbose: bool = False) -> 'Atmosphere':
-        """Build a 1D atmosphere.  ne plus one of hydrogenPops/nHTot are
-        required (EOS-based estimation is not yet implemented).
+        """Build a 1D atmosphere on a Geometric / ColumnMass / Tau500
+        depth scale.  When ne (and/or nHTot) are omitted they are
+        reconstructed hydrostatically with the Saha EOS.
 
         ref: /root/reference/lightweaver/atmosphere.py:749-1160
         """
+        from . import constants as Const
         from .atomic_table import DefaultAtomicAbundance
         if abundance is None:
             abundance = DefaultAtomicAbundance
@@ -146,9 +147,60 @@ class Atmosphere:
         if nHTot is None and hydrogenPops is not None:
             nHTot = np.sum(hydrogenPops, axis=0)
         if ne is None or nHTot is None:
-            raise NotImplementedError(
-                'EOS-based estimation of ne/nHTot not yet supported; '
-                'provide ne and nHTot or hydrogenPops')
+            # hydrostatic reconstruction via the Saha EOS
+            # (ref: /root/reference/lightweaver/atmosphere.py:748-1160,
+            #  which uses the Wittmann EOS)
+            from .eos import SahaEos
+            eos = SahaEos(abundance=abundance)
+            g = Const.GSurface
+            Nspace = depthScale.shape[0]
+            if scale == ScaleType.ColumnMass:
+                pgas = g * np.maximum(depthScale, 1e-6)
+                out = eos.solve(temperature, pgas)
+            elif scale == ScaleType.Geometric:
+                pgas = np.empty(Nspace)
+                pgas[0] = g * 6e-5            # ~ solar top column mass
+                out0 = eos.solve(temperature[:1], pgas[:1])
+                rhoPrev = out0['rho'][0]
+                for k in range(1, Nspace):
+                    dz = depthScale[k - 1] - depthScale[k]
+                    p = pgas[k - 1] + g * rhoPrev * dz
+                    for _ in range(3):        # implicit midpoint fixpoint
+                        ok = eos.solve(temperature[k:k + 1],
+                                       np.array([p]))
+                        p = (pgas[k - 1]
+                             + g * 0.5 * (rhoPrev + ok['rho'][0]) * dz)
+                    pgas[k] = p
+                    rhoPrev = ok['rho'][0]
+                out = eos.solve(temperature, pgas)
+            elif scale == ScaleType.Tau500:
+                tau = np.maximum(depthScale, 1e-9)
+                pgas = np.empty(Nspace)
+                p = g * 6e-5
+                for _ in range(5):            # top boundary: p ~ g tau/kappa
+                    o = eos.solve(temperature[:1], np.array([p]))
+                    kap = (eos.chi_500(temperature[:1], o['ne'],
+                                       o['nHTot']) / o['rho'])[0]
+                    p = max(g * tau[0] / kap, g * 6e-5)
+                pgas[0] = p
+                oPrev = eos.solve(temperature[:1], pgas[:1])
+                kapPrev = (eos.chi_500(temperature[:1], oPrev['ne'],
+                                       oPrev['nHTot']) / oPrev['rho'])[0]
+                for k in range(1, Nspace):
+                    dtau = tau[k] - tau[k - 1]
+                    p = pgas[k - 1] + g * dtau / kapPrev
+                    for _ in range(3):
+                        ok = eos.solve(temperature[k:k + 1], np.array([p]))
+                        kap = (eos.chi_500(temperature[k:k + 1], ok['ne'],
+                                           ok['nHTot']) / ok['rho'])[0]
+                        p = pgas[k - 1] + g * dtau * 2.0 / (kapPrev + kap)
+                    pgas[k] = p
+                    kapPrev = kap
+                out = eos.solve(temperature, pgas)
+            else:
+                raise ValueError(f'Unknown scale {scale}')
+            ne = out['ne'] if ne is None else np.asarray(ne, np.float64)
+            nHTot = out['nHTot']
         ne = np.asarray(ne, dtype=np.float64)
         nHTot = np.asarray(nHTot, dtype=np.float64)
 
@@ -181,9 +233,25 @@ class Atmosphere:
             # anchored roughly mid-atmosphere rather than at tau500 = 1
             # (which would require the background EOS).
             height -= height[Nspace // 2]
+        elif scale == ScaleType.Tau500:
+            # height from dtau = chi500 dh with chi500 from the Saha EOS
+            from .eos import SahaEos
+            eos2 = SahaEos(abundance=abundance)
+            tau = np.maximum(np.asarray(depthScale, np.float64), 1e-9)
+            chi500 = eos2.chi_500(temperature, ne, nHTot)
+            height = np.zeros(Nspace)
+            for k in range(1, Nspace):
+                height[k] = height[k - 1] - 2.0 * (tau[k] - tau[k - 1]) \
+                    / (chi500[k - 1] + chi500[k])
+            iTau1 = int(np.argmin(np.abs(tau - 1.0)))
+            height -= height[iTau1]
+            cmass = np.zeros(Nspace)
+            cmass[0] = tau[0] / chi500[0] * rho[0]
+            for k in range(1, Nspace):
+                cmass[k] = cmass[k - 1] + 0.5 * ((rho[k - 1] + rho[k])
+                                                 * (height[k - 1] - height[k]))
         else:
-            raise NotImplementedError('Tau500 scale requires background '
-                                      'opacity; not yet supported')
+            raise ValueError(f'Unknown scale {scale}')
 
         strat = Stratifications(cmass=cmass, tauRef=np.zeros(Nspace))
         atmos = cls(height=height, temperature=temperature, vlos=vlos,

@@ -45,3 +45,5 @@ FOURPI_HC = 1.0 / HC_FOURPI
 FOURPI_H = 4.0 * Pi / HPlanck
 
 VMICRO_CHAR = 3.0e3            # Characteristic microturbulence [m/s]
+
+GSurface = 2.74e2               # Solar surface gravity [m/s^2]
