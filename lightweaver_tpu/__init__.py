@@ -26,3 +26,24 @@ from .ops.faddeeva import voigt_H, voigt_HF, wofz
 from .ops.planck import planck_nu
 
 __version__ = '0.1.0'
+
+# user-facing API surface (mirrors the reference's package exports)
+from .atmosphere import (Atmosphere, BoundaryCondition, NoBc,
+                         PeriodicRadiation, ScaleType, ThermalisedRadiation,
+                         ZeroRadiation)
+from .atomic_model import (AtomicLevel, AtomicModel, ExplicitContinuum,
+                           HydrogenicContinuum, LinearCoreExpWings,
+                           LinearQuadrature, LineType, TabulatedQuadrature,
+                           VoigtLine)
+from .atomic_set import RadiativeSet, SpectrumConfiguration
+from .atomic_table import DefaultAtomicAbundance, PeriodicTable
+from .config import params as configParams
+from .context import Context
+from .fal import Falc82
+from .iterate_ctx import ConvergenceCriteria, iterate_ctx_se
+from .iteration_update import IterationUpdate
+from .ops.ng import NgOptions
+from .utils import (ConvergenceError, CrswIterator, ExplodingMatrixError,
+                    InitialSolution, UnityCrswIterator, air_to_vac,
+                    compute_contribution_fn, compute_radiative_losses,
+                    convert_specific_intensity, vac_to_air)
