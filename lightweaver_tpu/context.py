@@ -132,6 +132,12 @@ class IterConfig:
     Nx: Optional[int] = None
     zGrid: Optional[np.ndarray] = None
     geom2d: Optional[Dict] = None       # (mu, toObs) -> geometry dict
+    # hybrid-PRD extensions (ref: /root/reference/Source/Prd.cpp:697-945)
+    hprd: bool = False
+    prdIdxs: Optional[np.ndarray] = None         # PRD-active lambda subset
+    laToPrdLa: Optional[np.ndarray] = None
+    hprdCoeffs: Optional[Dict] = None   # (ai, ti) -> (i0, frac) arrays
+    vlosMu: Optional[np.ndarray] = None          # [Nmu, Nk]
 
 
 def _uv(cfg: IterConfig, params, ai: int, ti: int, t: TransStatic):
@@ -148,9 +154,22 @@ def _uv(cfg: IterConfig, params, ai: int, ti: int, t: TransStatic):
         if t.isPrd and params.get('rhoPrd') is not None:
             rho = params['rhoPrd'][ai][ti]
             if rho is not None:
-                # emission profile psi = rho phi: scales Vji and Uji
-                # (ref: /root/reference/Source/LwAtom.hpp:119-123)
-                Vji = Vji * rho[:, None, None, :]
+                if cfg.hprd and cfg.hprdCoeffs is not None \
+                        and (ai, ti) in cfg.hprdCoeffs:
+                    # comoving-frame rho: linear interpolation at the
+                    # Doppler-shifted window position per (mu, +/-, k)
+                    # (ref: /root/reference/Source/LwTransition.hpp:118-126)
+                    i0, frac = cfg.hprdCoeffs[(ai, ti)]
+                    i0 = jnp.asarray(i0)
+                    frac = jnp.asarray(frac, dt)
+                    kIdx = jnp.arange(rho.shape[1])
+                    rhoShift = ((1.0 - frac) * rho[i0, kIdx]
+                                + frac * rho[i0 + 1, kIdx])
+                    Vji = Vji * rhoShift
+                else:
+                    # emission profile psi = rho phi: scales Vji and Uji
+                    # (ref: /root/reference/Source/LwAtom.hpp:119-123)
+                    Vji = Vji * rho[:, None, None, :]
         Uji = (t.Aji / t.Bji) * Vji
     else:
         nStar = params['nStar'][ai]
@@ -351,6 +370,27 @@ def build_iteration_fn(cfg: IterConfig):
         Jnew = jnp.einsum('lmdk,m->lk', I, 0.5 * wmu)
         dJ = jnp.max(jnp.abs(1.0 - jnp.where(Jnew != 0.0, Jdag / Jnew, 1.0)))
 
+        JRest = None
+        if cfg.hprd and cfg.prdIdxs is not None:
+            # rest-frame mean intensity on the PRD-active subset: linear
+            # interpolation of the Doppler-shifted spectrum per (mu,+/-,k)
+            # -- the adjoint-tent accumulation of the reference expressed
+            # as resampling (ref: Prd.cpp:816-897,
+            # SimdFullIterationTemplates.hpp:397-408)
+            lamPrd = lamGrid[jnp.asarray(cfg.prdIdxs)]
+            vlosMu = jnp.asarray(cfg.vlosMu, dt)         # [Nmu, Nk]
+            sgn = jnp.asarray([-1.0, 1.0], dt)
+            fac = 1.0 + (sgn[None, :, None] * vlosMu[:, None, :]
+                         / Const.CLight)                 # [Nmu, 2, Nk]
+
+            def interp_one(facS, I_S):
+                return jnp.interp(lamPrd, lamGrid * facS, I_S)
+            f3 = jax.vmap(jax.vmap(jax.vmap(interp_one, in_axes=(0, 1)),
+                                   in_axes=(0, 1)), in_axes=(0, 1))
+            # fac [Nmu,2,Nk]; I [Nlam,Nmu,2,Nk] -> IRest [Nmu,2,Nk,Nprd]
+            IRest = f3(fac, I)
+            JRest = jnp.einsum('mdkp,m->pk', IRest, 0.5 * wmu)
+
         adt = cfg.accumDtype if cfg.accumDtype is not None else dt
         GammaOut, RijOut, RjiOut = [], [], []
         for ai, a in enumerate(cfg.activeAtoms):
@@ -412,6 +452,8 @@ def build_iteration_fn(cfg: IterConfig):
             Iout = I[:, :, 1, 0]    # emergent (upgoing, top)
         out = {'Gamma': GammaOut, 'Rij': RijOut, 'Rji': RjiOut,
                'J': Jnew, 'I': Iout, 'dJ': dJ}
+        if JRest is not None:
+            out['JRest'] = JRest
         if storeDepthData:
             # full-resolution capture of chi/eta/I per (lambda, mu, +/-, k)
             # (ref DepthData: /root/reference/Source/LwContext.hpp:12-18)
@@ -457,7 +499,7 @@ class Context:
 
     def __init__(self, atmos: Atmosphere, spect, eqPops,
                  ngOptions=None, initSol=None, conserveCharge: bool = False,
-                 nrHOnly: bool = False,
+                 nrHOnly: bool = False, hprd: bool = False,
                  formalSolver: str = 'piecewise_bezier3_1d',
                  recurrenceMode: str = 'scan',
                  backgroundProvider=None,
@@ -552,6 +594,9 @@ class Context:
                         if (t.isLine and t.isPrd) else None
                         for t in a.trans] for a in activeAtoms]
         self.rhoPrd += [[None] * len(a.trans) for a in detailedAtoms]
+        self.JRest = None
+        if hprd and self._prd_lines():
+            self._configure_hprd_coeffs()
 
         from .utils import InitialSolution
         if initSol == InitialSolution.EscapeProbability:
@@ -734,6 +779,8 @@ class Context:
         self._Rji = out['Rji']
         self.J = out['J']
         self.I = out['I']
+        if 'JRest' in out:
+            self.JRest = out['JRest']
         if self.depthData.fill:
             self.depthData.chi = out['depthChi']
             self.depthData.eta = out['depthEta']
@@ -1091,6 +1138,42 @@ class Context:
         return IterationUpdate(self, updatedJ=updateJ)
 
     # ------------------------------------------------------------------
+    def _configure_hprd_coeffs(self):
+        """Precompute the hybrid-PRD machinery: the PRD-active wavelength
+        subset and, per PRD line, the (i0, frac) linear-interpolation
+        coefficients locating each window wavelength's Doppler-shifted
+        (comoving) position per (mu, +/-, depth).
+        ref: /root/reference/Source/Prd.cpp:697-945"""
+        atmos = self.atmos
+        cfg = self.cfg
+        cfg.hprd = True
+        vlosMu = np.asarray(atmos.vlos_mu())            # [Nmu, Nk]
+        cfg.vlosMu = vlosMu
+        lam = np.asarray(self.spect.wavelength)
+
+        prdActive = np.zeros(cfg.Nlam, bool)
+        for ai, ti, a, t in self._prd_lines():
+            prdActive[t.Nblue:t.Nred] = True
+        cfg.prdIdxs = np.nonzero(prdActive)[0]
+        laToPrd = np.full(cfg.Nlam, -1, np.int64)
+        laToPrd[cfg.prdIdxs] = np.arange(len(cfg.prdIdxs))
+        cfg.laToPrdLa = laToPrd
+
+        sgn = np.array([-1.0, 1.0])
+        fac = 1.0 + (sgn[None, :, None] * vlosMu[:, None, :]
+                     / Const.CLight)                    # [Nmu, 2, Nk]
+        cfg.hprdCoeffs = {}
+        for ai, ti, a, t in self._prd_lines():
+            w = t.wavelength                            # [W]
+            lamRest = w[:, None, None, None] * fac[None]   # [W, Nmu, 2, Nk]
+            i0 = np.searchsorted(w, lamRest, side='right') - 1
+            i0 = np.clip(i0, 0, t.W - 2)
+            frac = (lamRest - w[i0]) / (w[i0 + 1] - w[i0])
+            frac = np.clip(frac, 0.0, 1.0)
+            cfg.hprdCoeffs[(ai, ti)] = (i0.astype(np.int32),
+                                        frac.astype(np.float64))
+
+    # ------------------------------------------------------------------
     def _prd_lines(self):
         return [(ai, ti, a, t)
                 for ai, a in enumerate(self.cfg.activeAtoms)
@@ -1139,7 +1222,11 @@ class Context:
                 vBroad = a.model.vBroad(atmos)
                 qWave = ((t.wavelength[:, None] - t.lambda0) * Const.CLight
                          / (t.lambda0 * vBroad[None, :]))
-                Jw = self.J[t.Nblue:t.Nred]
+                if self.cfg.hprd and self.JRest is not None:
+                    prdWin = self.cfg.laToPrdLa[t.Nblue:t.Nred]
+                    Jw = self.JRest[jnp.asarray(prdWin)]
+                else:
+                    Jw = self.J[t.Nblue:t.Nred]
                 rho = prd_scatter_rho(
                     jnp.asarray(qWave, self.dtype),
                     jnp.asarray(self.aDamp[ai][ti], self.dtype), Jw,
@@ -1219,6 +1306,7 @@ class Context:
                 for ai, ti, a, t in self._prd_lines()},
             'kwargs': {
                 'conserveCharge': self.conserveCharge,
+                'hprd': self.cfg.hprd,
                 'formalSolver': self.cfg.formalSolver,
                 'recurrenceMode': self.cfg.recurrenceMode,
             },
