@@ -67,16 +67,64 @@ class SahaEos:
         eDonated -= ne * PhiHmin * fjH[0]
         return eDonated
 
+    def _native_tables(self):
+        """Pack the per-element Saha data for the C++ core (H first)."""
+        elems = sorted(self.elements,
+                       key=lambda e: (e.Z != 1,))     # hydrogen first
+        abunds = np.array([self.abundance[e] for e in elems])
+        pfs = [self.pfTable[e] for e in elems]
+        maxStage = max(p.ionPot.shape[0] for p in pfs)
+        Npf = pfs[0].Tpf.shape[0]
+        nStages = np.array([p.ionPot.shape[0] for p in pfs], np.int32)
+        logU = np.zeros((len(elems), maxStage, Npf))
+        ionPot = np.zeros((len(elems), maxStage))
+        for i, p in enumerate(pfs):
+            ns = p.ionPot.shape[0]
+            logU[i, :ns] = p.pf
+            ionPot[i, :ns] = p.ionPot
+        return {'abund': abunds, 'nStages': nStages,
+                'ionPot': np.ascontiguousarray(ionPot),
+                'Tpf': np.ascontiguousarray(pfs[0].Tpf),
+                'logU': np.ascontiguousarray(logU),
+                'maxStage': maxStage, 'Npf': Npf}
+
+    def solve_native(self, T, pgas, maxIter=100, tol=1e-8):
+        """Native C++ fixed point; returns None if the toolchain or the
+        library is unavailable."""
+        from .nativert import load_saha_lib
+        lib = load_saha_lib()
+        if lib is None:
+            return None
+        if getattr(self, '_nt', None) is None:
+            self._nt = self._native_tables()
+        nt = self._nt
+        T = np.ascontiguousarray(T, np.float64)
+        pgas = np.ascontiguousarray(pgas, np.float64)
+        N = T.shape[0]
+        ne = np.empty(N)
+        nHTot = np.empty(N)
+        rho = np.empty(N)
+        lib.saha_solve(T, pgas, N, len(nt['abund']), nt['nStages'],
+                       nt['abund'], nt['ionPot'], nt['Tpf'], nt['Npf'],
+                       nt['logU'], nt['maxStage'], self.totalAbund,
+                       self.massPerH, maxIter, tol, ne, nHTot, rho)
+        return {'ne': ne, 'nHTot': nHTot, 'rho': rho}
+
     def solve(self, T: np.ndarray, pgas: np.ndarray, maxIter: int = 100,
-              tol: float = 1e-8):
+              tol: float = 1e-8, native: bool = True):
         """(T, pgas) -> dict with ne, nHTot, rho (SI).
 
         Solves the charge-balance fixed point
           nTot = pgas/(kT);  nHTot = (nTot - ne)/totalAbund;
           ne = nHTot * meanCharge(T, ne).
+        Uses the native C++ core when available (nativert), else numpy.
         """
         T = np.asarray(T, np.float64)
         pgas = np.asarray(pgas, np.float64)
+        if native:
+            out = self.solve_native(T, pgas, maxIter=maxIter, tol=tol)
+            if out is not None:
+                return out
         nTot = pgas / (Const.KBoltzmann * T)
         ne = 1e-4 * nTot                    # metal-donation starting guess
         for it in range(maxIter):
