@@ -115,22 +115,30 @@ class AtomicStateTable:
 
 @dataclass
 class SpeciesStateTable:
-    """All population state: atomic species + H-.
-    (Molecular populations not yet supported: molecularPops empty.)"""
+    """All population state: atomic species, H-, and molecules."""
     atmosphere: object
     abundance: AtomicAbundance
     atomicPops: AtomicStateTable
     HminPops: np.ndarray
+    molecularTable: object = None
+    molecularPops: object = None      # [Nmol, Nspace] or None
 
     def __getitem__(self, name) -> np.ndarray:
         if isinstance(name, str) and name == 'H-':
             return self.HminPops
+        if (self.molecularTable is not None and name in self.molecularTable
+                and self.molecularPops is not None):
+            return self.molecularPops[self.molecularTable.indices[
+                name.upper()]]
         if name in self.atomicPops:
             return self.atomicPops[name].n
         raise LookupError(f'Species "{name}" not found')
 
     def __contains__(self, name) -> bool:
-        return name == 'H-' or name in self.atomicPops
+        if name == 'H-' or name in self.atomicPops:
+            return True
+        return (self.molecularTable is not None
+                and name in self.molecularTable)
 
     def update_lte_atoms_Hmin_pops(self, atmos, conserveCharge=False,
                                    updateTotals=False, maxIter=2000,
@@ -279,11 +287,13 @@ class RadiativeSet:
         return sorted((self.atoms[e] for e in self.passiveSet),
                       key=lambda a: a.element)
 
-    def compute_eq_pops(self, atmos,
+    def compute_eq_pops(self, atmos, mols=None,
                         nlteStartingPops: Optional[Dict] = None) \
             -> SpeciesStateTable:
         """Initial populations: LTE everywhere (or provided NLTE starting
-        pops for active/detailed species)."""
+        pops for active/detailed species); with a MolecularTable, the
+        molecular chemical equilibrium is solved and molecule-forming
+        nuclei rescaled."""
         nlteStartingPops = nlteStartingPops or {}
         states = []
         for a in sorted(self.atoms.values(), key=lambda a: a.element):
@@ -303,6 +313,15 @@ class RadiativeSet:
                                           nStar=nStar, nTotal=nTotal,
                                           detailed=True, pops=pops))
         table = AtomicStateTable(states)
+        if mols is not None and len(mols) > 0:
+            molPops = chemical_equilibrium_fixed_ne(atmos, mols, table,
+                                                    self.abundance)
+            HminPops = hminus_pops(atmos, table['H'].n)
+            return SpeciesStateTable(atmosphere=atmos,
+                                     abundance=self.abundance,
+                                     atomicPops=table, HminPops=HminPops,
+                                     molecularTable=mols,
+                                     molecularPops=molPops)
         HminPops = hminus_pops(atmos, table['H'].n)
         return SpeciesStateTable(atmosphere=atmos, abundance=self.abundance,
                                  atomicPops=table, HminPops=HminPops)
@@ -348,3 +367,107 @@ class RadiativeSet:
                                      blueIdx=blueIdx, redIdx=redIdx,
                                      activeTrans=activeTrans,
                                      activeWavelengths=activeWavelengths)
+
+
+def chemical_equilibrium_fixed_ne(atmos, molecules, atomicPops,
+                                  abundance) -> np.ndarray:
+    """Molecular number densities at fixed ne: Newton-Raphson on the
+    coupled (nuclei, molecules) system per depth point, batched over
+    depth.  Scales the atomic populations of molecule-forming nuclei so
+    free + bound-in-molecules nuclei are conserved, and returns the
+    molecular populations [Nmol, Nspace].
+    ref: /root/reference/lightweaver/atomic_set.py:1117-1279
+    """
+    from .atomic_table import KuruczPfTable
+
+    nucleiSet = set()
+    for mol in molecules:
+        nucleiSet |= set(mol.elements)
+    nuclei = sorted(nucleiSet)
+    if not nuclei:
+        return np.zeros((0, atmos.Nspace))
+    from .atomic_table import PeriodicTable
+    if nuclei[0] != PeriodicTable.element(1):
+        raise ValueError('H not in list of nuclei -- check H2 molecule')
+
+    nuclIndex = [[nuclei.index(e) for e in mol.elements]
+                 for mol in molecules]
+    kurucz = KuruczPfTable(atomicAbundance=abundance)
+
+    Nk = atmos.Nspace
+    Nnuc = len(nuclei)
+    Nmol = len(molecules)
+    Neqn = Nnuc + Nmol
+
+    # abundances and neutral fractions per nucleus [Nnuc, Nk]
+    a = np.empty((Nnuc, Nk))
+    fn0 = np.empty((Nnuc, Nk))
+    for i, nuc in enumerate(nuclei):
+        if nuc in atomicPops:
+            st = atomicPops[nuc]
+            a[i] = st.abundance * atmos.nHTot
+            stages = np.array([l.stage for l in st.model.levels])
+            fn0[i] = (st.n[stages == 0].sum(axis=0) / st.nTotal)
+        else:
+            pf = kurucz[nuc]
+            a[i] = pf.abundance * atmos.nHTot
+            fj, _ = pf.fj(atmos)
+            fn0[i] = fj[0]
+
+    CI = (Const.HPlanck / (2.0 * np.pi * Const.MElectron)
+          * (Const.HPlanck / Const.KBoltzmann))
+    PhiHmin = (0.25 * (CI / atmos.temperature) ** 1.5
+               * np.exp(Const.E_ION_HMIN
+                        / (Const.KBoltzmann * atmos.temperature)))
+    fHmin = atmos.ne * fn0[0] * PhiHmin                      # [Nk]
+
+    Phi = np.stack([mol.equilibrium_constant(atmos.temperature)
+                    for mol in molecules])                   # [Nmol, Nk]
+
+    n = np.concatenate([a, np.zeros((Nmol, Nk))])            # [Neqn, Nk]
+    n[:Nnuc] = a
+    for it in range(50):
+        prevN = n.copy()
+        f = n.copy()
+        f[:Nnuc] -= a
+        df = np.zeros((Nk, Neqn, Neqn))
+        df[:, np.arange(Neqn), np.arange(Neqn)] = 1.0
+        f[0] += fHmin * n[0]
+        df[:, 0, 0] += fHmin
+
+        for i, mol in enumerate(molecules):
+            saha = Phi[i].copy()
+            for j, ele in enumerate(mol.elements):
+                nu = nuclIndex[i][j]
+                saha = saha * (fn0[nu] * n[nu]) ** mol.elementCount[j]
+                f[nu] += mol.elementCount[j] * n[Nnuc + i]
+            if mol.charge:
+                saha = saha / atmos.ne ** mol.charge
+            f[Nnuc + i] -= saha
+            for j, ele in enumerate(mol.elements):
+                nu = nuclIndex[i][j]
+                df[:, nu, Nnuc + i] += mol.elementCount[j]
+                df[:, Nnuc + i, nu] = -saha * (mol.elementCount[j]
+                                               / np.maximum(n[nu], 1e-300))
+
+        corr = np.linalg.solve(df, f.T[..., None])[..., 0].T
+        n -= corr
+        n[:Nnuc] = np.maximum(n[:Nnuc], 1e-300)
+        ratio = np.where(n != 0.0, prevN / np.where(n != 0.0, n, 1.0), 1.0)
+        dnMax = np.nanmax(np.abs(1.0 - ratio))
+        if dnMax <= 1e-3:
+            break
+    else:
+        raise ValueError(f'ChemEq iteration not converged: dnMax={dnMax}')
+
+    # rescale atomic populations of molecule-forming species
+    for i, ele in enumerate(nuclei):
+        if ele in atomicPops:
+            st = atomicPops[ele]
+            fraction = n[i] / st.nTotal
+            st.nStar *= fraction[None, :]
+            st.nTotal *= fraction
+            if st.pops is not None:
+                st.pops *= fraction[None, :]
+
+    return n[Nnuc:]

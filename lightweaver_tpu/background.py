@@ -284,8 +284,25 @@ def basic_background(spect, atmos, eqPops, radSet) -> Background:
     chi += c
     eta += c * Bnu
 
-    for mol, fn in (('H2', None),):
-        pass  # molecular populations not yet computed (no MolecularTable)
+    # molecular terms when chemical-equilibrium populations are present
+    # (ref: /root/reference/Source/Background.cpp:158-1050)
+    if 'H2' in eqPops:
+        nH2 = eqPops['H2']
+        c = h2minus_ff(lam, T, ne, nH2)
+        chi += c
+        eta += c * Bnu
+        c = h2plus_ff(lam, T, nH0, nProton)
+        chi += c
+        eta += c * Bnu
+        sca += rayleigh_h2(lam, nH2)
+    if 'OH' in eqPops:
+        c, e = oh_bf(lam, T, eqPops['OH'])
+        chi += c
+        eta += e
+    if 'CH' in eqPops:
+        c, e = ch_bf(lam, T, eqPops['CH'])
+        chi += c
+        eta += e
 
     if 'H' in radSet:
         sca += rayleigh_lines(lam, radSet['H'], nH)
