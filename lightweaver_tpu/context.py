@@ -126,6 +126,11 @@ class IterConfig:
     # equilibrium solve, so f32 state needs f64 accumulation to converge
     # below dPops ~ 1e-2 (f64 state: same as dtype).
     accumDtype: object = None
+    # Gamma accumulation: 'factored' contracts mu-independent (continuum)
+    # transitions against precomputed angular moments (PsiBar/IBar/
+    # IeffBar) instead of broadcasting them onto the [W,Nmu,2,Nk] ray
+    # tensor; 'dense' is the straightforward reference-shaped path.
+    gammaMode: str = 'factored'
     # 2D extensions
     Ndim: int = 1
     Nz: Optional[int] = None
@@ -392,6 +397,20 @@ def build_iteration_fn(cfg: IterConfig):
             JRest = jnp.einsum('mdkp,m->pk', IRest, 0.5 * wmu)
 
         adt = cfg.accumDtype if cfg.accumDtype is not None else dt
+        wmu2 = (0.5 * wmu).astype(adt)
+        oneBar = jnp.sum(wmu2) * 2.0
+        factored = getattr(cfg, 'gammaMode', 'factored') == 'factored'
+        if factored:
+            # angular moments shared by all mu-independent (continuum)
+            # contractions: avoids broadcasting [W,1,1,Nk] continuum
+            # quantities onto the full ray tensor (the dominant HBM
+            # traffic of the dense path)
+            PsiBar = jnp.einsum('lmdk,m->lk', Psi.astype(adt), wmu2)
+            IBar = jnp.einsum('lmdk,m->lk', I.astype(adt), wmu2)
+            IeffBaseSrcBar = jnp.einsum(
+                'lmdk,m->lk',
+                (IeffBase + Psi * srcNum).astype(adt), wmu2)
+
         GammaOut, RijOut, RjiOut = [], [], []
         for ai, a in enumerate(cfg.activeAtoms):
             Gamma = (params['crsw'] * params['C'][ai]).astype(adt)
@@ -405,11 +424,126 @@ def build_iteration_fn(cfg: IterConfig):
             # precision even in f32
             Ieff = IeffBase + Psi * (srcNum - etaAtom)
 
+            if factored:
+                # IeffBar for this atom: global moments minus the
+                # Psi*etaAtom moment (continuum part via PsiBar, line
+                # parts via narrow-window contractions)
+                PsiEtaBar = jnp.zeros((Nlam, Nk), adt)
+                for ti, t in enumerate(a.trans):
+                    sl = slice(t.Nblue, t.Nred)
+                    if t.isLine:
+                        contrib = jnp.einsum(
+                            'lmdk,lmdk,m->lk', etaT[ai][ti].astype(adt),
+                            Psi[sl].astype(adt), wmu2)
+                    else:
+                        contrib = (etaT[ai][ti][:, 0, 0, :].astype(adt)
+                                   * PsiBar[sl])
+                    PsiEtaBar = PsiEtaBar.at[sl].add(contrib)
+                IeffBarA = IeffBaseSrcBar - PsiEtaBar
+
+                def cont_part_on(t, arrs, items, signed, lo, hi):
+                    """[hi-lo, Nk] sum of mu-independent (continuum)
+                    members of a level list restricted to [lo, hi)."""
+                    out = jnp.zeros((hi - lo, Nk), adt)
+                    for item in items:
+                        t2i, sign = item if signed else (item, 1)
+                        t2 = a.trans[t2i]
+                        if t2.isLine:
+                            continue
+                        l2 = max(lo, t2.Nblue)
+                        h2 = min(hi, t2.Nred)
+                        if h2 <= l2:
+                            continue
+                        out = out.at[l2 - lo:h2 - lo].add(
+                            sign * arrs[t2i][l2 - t2.Nblue:h2 - t2.Nblue,
+                                             0, 0, :].astype(adt))
+                    return out
+
+                def cross_bar(t, listX, listU, wlaA):
+                    """[Nk] = sum over t's window of
+                    wla * wmu2 * Psi * chiLevel * ULevel."""
+                    lo, hi = t.Nblue, t.Nred
+                    XC = cont_part_on(t, chiT[ai], listX, True, lo, hi)
+                    UC = cont_part_on(t, UjiT[ai], listU, False, lo, hi)
+                    total = jnp.einsum('lk,lk,lk->k', XC * UC, wlaA,
+                                       PsiBar[lo:hi])
+                    # line(chi) x continuum(U) and line x line terms
+                    for item in listX:
+                        t2i, sign = item
+                        t2 = a.trans[t2i]
+                        if not t2.isLine:
+                            continue
+                        l2, h2 = max(lo, t2.Nblue), min(hi, t2.Nred)
+                        if h2 <= l2:
+                            continue
+                        chiSub = chiT[ai][t2i][l2 - t2.Nblue:h2 - t2.Nblue]
+                        total = total + sign * jnp.einsum(
+                            'lmdk,lmdk,lk,m->k', chiSub.astype(adt),
+                            Psi[l2:h2].astype(adt),
+                            UC[l2 - lo:h2 - lo] * wlaA[l2 - lo:h2 - lo],
+                            wmu2)
+                        for t3i in listU:
+                            t3 = a.trans[t3i]
+                            if not t3.isLine:
+                                continue
+                            l3 = max(l2, t3.Nblue)
+                            h3 = min(h2, t3.Nred)
+                            if h3 <= l3:
+                                continue
+                            total = total + sign * jnp.einsum(
+                                'lmdk,lmdk,lmdk,lk,m->k',
+                                chiT[ai][t2i][l3 - t2.Nblue:
+                                              h3 - t2.Nblue].astype(adt),
+                                UjiT[ai][t3i][l3 - t3.Nblue:
+                                              h3 - t3.Nblue].astype(adt),
+                                Psi[l3:h3].astype(adt),
+                                wlaA[l3 - lo:h3 - lo], wmu2)
+                    # continuum(chi) x line(U) terms
+                    for t3i in listU:
+                        t3 = a.trans[t3i]
+                        if not t3.isLine:
+                            continue
+                        l3, h3 = max(lo, t3.Nblue), min(hi, t3.Nred)
+                        if h3 <= l3:
+                            continue
+                        USub = UjiT[ai][t3i][l3 - t3.Nblue:h3 - t3.Nblue]
+                        total = total + jnp.einsum(
+                            'lmdk,lmdk,lk,m->k', USub.astype(adt),
+                            Psi[l3:h3].astype(adt),
+                            XC[l3 - lo:h3 - lo] * wlaA[l3 - lo:h3 - lo],
+                            wmu2)
+                    return total
+
             Rij, Rji = [], []
             for ti, t in enumerate(a.trans):
                 sl = slice(t.Nblue, t.Nred)
                 Uji, Vij, Vji = _uv(cfg, params, ai, ti, t)
                 wla = _wla(cfg, params, ai, ti, t)         # [W, Nk]
+                wlaA = wla.astype(adt)
+
+                if factored and not t.isLine:
+                    # mu-independent transition: contract against the
+                    # angular moments only
+                    UjiC = Uji[:, 0, 0, :].astype(adt)
+                    VijC = Vij[:, 0, 0, :].astype(adt)
+                    VjiC = Vji[:, 0, 0, :].astype(adt)
+                    Ieff_b = IeffBarA[sl]
+                    Gij = (jnp.einsum('lk,lk->k',
+                                      UjiC * oneBar + VjiC * Ieff_b, wlaA)
+                           - cross_bar(t, a.chiLists[t.i],
+                                       a.ULists[t.j], wlaA))
+                    Gji = (jnp.einsum('lk,lk->k', VijC * Ieff_b, wlaA)
+                           - cross_bar(t, a.chiLists[t.j],
+                                       a.ULists[t.i], wlaA))
+                    Gamma = Gamma.at[t.i, t.j].add(Gij)
+                    Gamma = Gamma.at[t.j, t.i].add(Gji)
+                    IBar_w = IBar[sl]
+                    Rij.append(jnp.einsum('lk,lk->k', VijC * IBar_w, wlaA))
+                    Rji.append(jnp.einsum('lk,lk->k',
+                                          UjiC * oneBar + VjiC * IBar_w,
+                                          wlaA))
+                    continue
+
                 Ieff_w = Ieff[sl]
                 Psi_w = Psi[sl]
                 I_w = I[sl]
@@ -421,8 +555,6 @@ def build_iteration_fn(cfg: IterConfig):
                                           a.ULists[t.i], False)
                 U_j = level_sum_on_window(UjiT[ai], a, t,
                                           a.ULists[t.j], False)
-                wmu2 = (0.5 * wmu).astype(adt)
-                wlaA = wla.astype(adt)
                 integ_ij = ((Uji + Vji * Ieff_w)
                             - Psi_w * chi_i * U_j).astype(adt)
                 integ_ji = ((Vij * Ieff_w)
