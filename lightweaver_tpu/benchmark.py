@@ -1,0 +1,82 @@
+"""Benchmark/autotune: time the configurable kernel variants on the
+standard FALC-500 H+Ca problem and persist the fastest to lightweaverrc.
+
+The TPU analogue of the reference's SIMD-implementation autotuner
+(ref: /root/reference/lightweaver/benchmark.py:19-113): instead of
+scalar/SSE2/AVX2/AVX512 plugins, the tunables are the depth-recurrence
+evaluation mode and the working precision.
+"""
+import time
+from typing import Optional
+
+import numpy as np
+
+
+def _build_ctx(Nspace=500, Nrays=5, dtype=None, recurrenceMode='scan'):
+    import jax.numpy as jnp
+
+    from .atmosphere import Atmosphere
+    from .atomic_set import RadiativeSet
+    from .context import Context
+    from .fal import Falc82
+    from .rh_atoms import CaII_atom, H_6_atom
+
+    full = Falc82()
+    cm = np.log10(full.cmass)
+    cmNew = np.linspace(cm[0], cm[-1], Nspace)
+
+    def interp(y, logY=False):
+        if logY:
+            return 10 ** np.interp(cmNew, cm, np.log10(y))
+        return np.interp(cmNew, cm, y)
+
+    atmos = Atmosphere(height=interp(full.height),
+                       temperature=interp(full.temperature, logY=True),
+                       vlos=np.zeros(Nspace), vturb=interp(full.vturb),
+                       ne=interp(full.ne, logY=True),
+                       nHTot=interp(full.nHTot, logY=True))
+    atmos.quadrature(Nrays)
+    rs = RadiativeSet([H_6_atom(), CaII_atom()])
+    rs.set_active('H', 'Ca')
+    spect = rs.compute_wavelength_grid()
+    eqPops = rs.compute_eq_pops(atmos)
+    return Context(atmos, spect, eqPops, dtype=dtype,
+                   recurrenceMode=recurrenceMode)
+
+
+def benchmark(Niter: int = 20, writeConfig: bool = False,
+              verbose: bool = True) -> dict:
+    """Time the MALI iteration for each (recurrence, precision) variant;
+    optionally persist the fastest combination to the user config."""
+    import jax
+    import jax.numpy as jnp
+
+    variants = [
+        ('scan', 'f64', None),
+        ('parallel', 'f64', None),
+        ('scan', 'mixed', jnp.float32),
+    ]
+    results = {}
+    for mode, prec, dtype in variants:
+        ctx = _build_ctx(dtype=dtype, recurrenceMode=mode)
+        for _ in range(2):
+            ctx.formal_sol_gamma_matrices()
+        jax.block_until_ready(ctx.J)
+        t0 = time.perf_counter()
+        for _ in range(Niter):
+            ctx.formal_sol_gamma_matrices()
+        jax.block_until_ready(ctx.J)
+        wall = (time.perf_counter() - t0) / Niter
+        results[(mode, prec)] = wall
+        if verbose:
+            print(f'{mode}/{prec}: {wall * 1e3:.1f} ms/iter')
+
+    best = min(results, key=results.get)
+    if verbose:
+        print(f'fastest: {best[0]}/{best[1]}')
+    if writeConfig:
+        from .config import params
+        params['RecurrenceMode'] = best[0]
+        params['Precision'] = best[1]
+        params.save()
+    return {'timings': results, 'best': best}

@@ -295,7 +295,9 @@ def build_iteration_fn(cfg: IterConfig):
         # down sweep (toObs=False, d=0): upper BC
         chiD = chiTot[:, :, 0].reshape(-1, Nk)
         SD = S[:, :, 0].reshape(-1, Nk)
-        if cfg.upperThermalised:
+        if params.get('upperBcData') is not None:
+            Iupw_d = params['upperBcData'].reshape(-1)
+        elif cfg.upperThermalised:
             Bnu0 = planck_nu(T[0], lamGrid)
             Bnu1 = planck_nu(T[1], lamGrid)
             dtau = (0.5 * (chiTot[:, :, 0, 0] + chiTot[:, :, 0, 1])
@@ -311,7 +313,9 @@ def build_iteration_fn(cfg: IterConfig):
         # up sweep (toObs=True, d=1): lower BC
         chiU = chiTot[:, :, 1].reshape(-1, Nk)
         SU = S[:, :, 1].reshape(-1, Nk)
-        if cfg.lowerThermalised:
+        if params.get('lowerBcData') is not None:
+            Iupw_u = params['lowerBcData'].reshape(-1)
+        elif cfg.lowerThermalised:
             BnuN = planck_nu(T[Nk - 1], lamGrid)
             BnuN1 = planck_nu(T[Nk - 2], lamGrid)
             dtau = (0.5 * (chiTot[:, :, 1, Nk - 1] + chiTot[:, :, 1, Nk - 2])
@@ -871,7 +875,21 @@ class Context:
             'crsw': jnp.asarray(crswVal, self.dtype),
             'phi': self.phi, 'wphi': self.wphi,
             'rhoPrd': self.rhoPrd,
+            'upperBcData': self._bc_data(self.atmos.upperBc),
+            'lowerBcData': self._bc_data(self.atmos.lowerBc),
         }
+
+    def _bc_data(self, bc):
+        """Evaluate a user-callable boundary condition to
+        I_incident[Nlam, Nmu], or None for analytic BC types.
+        ref: /root/reference/Source/LwMiddleLayer.pyx:765-829"""
+        data = bc.compute_bc(self.atmos, self.spect)
+        if data is None:
+            return None
+        data = np.asarray(data, np.float64)
+        if data.ndim == 3:          # [Nlam, Nmu, Nspatial=1]
+            data = data[..., 0]
+        return jnp.asarray(data, self.dtype)
 
     def _deviceC(self):
         if getattr(self, '_CDev', None) is None or self._CDevDirty:
@@ -904,6 +922,8 @@ class Context:
         p['C'] = self._deviceC()
         p['crsw'] = jnp.asarray(crswVal, self.dtype)
         p['rhoPrd'] = self.rhoPrd
+        p['upperBcData'] = self._bc_data(self.atmos.upperBc)
+        p['lowerBcData'] = self._bc_data(self.atmos.lowerBc)
         out = self._iter_fn(p, lambdaIterate=lambdaIterate,
                             storeDepthData=self.depthData.fill)
         self._Gamma = out['Gamma']
