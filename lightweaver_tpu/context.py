@@ -415,18 +415,31 @@ def build_iteration_fn(cfg: IterConfig):
                 'lmdk,m->lk',
                 (IeffBase + Psi * srcNum).astype(adt), wmu2)
 
+        def eta_atom_on_window(ai, a, lo, hi):
+            """Atom's total eta restricted to [lo, hi) as [hi-lo, ...]."""
+            out = jnp.zeros((hi - lo, Nmu, 2, Nk), dt)
+            for t2i, t2 in enumerate(a.trans):
+                l2, h2 = max(lo, t2.Nblue), min(hi, t2.Nred)
+                if h2 <= l2:
+                    continue
+                out = out.at[l2 - lo:h2 - lo].add(jnp.broadcast_to(
+                    etaT[ai][t2i][l2 - t2.Nblue:h2 - t2.Nblue],
+                    (h2 - l2, Nmu, 2, Nk)))
+            return out
+
         GammaOut, RijOut, RjiOut = [], [], []
         for ai, a in enumerate(cfg.activeAtoms):
             Gamma = (params['crsw'] * params['C'][ai]).astype(adt)
-            etaAtom = jnp.zeros((Nlam, Nmu, 2, Nk), dt)
-            for ti, t in enumerate(a.trans):
-                etaAtom = etaAtom.at[t.Nblue:t.Nred].add(
-                    jnp.broadcast_to(etaT[ai][ti], (t.W, Nmu, 2, Nk)))
-            # compensated MALI effective intensity: algebraically equal to
-            # I - Psi*etaAtom, but assembled from non-cancelling terms so
-            # the optically-thick regime (Psi*eta ~ I) keeps full relative
-            # precision even in f32
-            Ieff = IeffBase + Psi * (srcNum - etaAtom)
+            if not factored:
+                etaAtom = jnp.zeros((Nlam, Nmu, 2, Nk), dt)
+                for ti, t in enumerate(a.trans):
+                    etaAtom = etaAtom.at[t.Nblue:t.Nred].add(
+                        jnp.broadcast_to(etaT[ai][ti], (t.W, Nmu, 2, Nk)))
+                # compensated MALI effective intensity: algebraically
+                # equal to I - Psi*etaAtom, but assembled from
+                # non-cancelling terms so the optically-thick regime
+                # (Psi*eta ~ I) keeps full relative precision even in f32
+                Ieff = IeffBase + Psi * (srcNum - etaAtom)
 
             if factored:
                 # IeffBar for this atom: global moments minus the
@@ -548,7 +561,12 @@ def build_iteration_fn(cfg: IterConfig):
                                           wlaA))
                     continue
 
-                Ieff_w = Ieff[sl]
+                if factored:
+                    etaA_w = eta_atom_on_window(ai, a, t.Nblue, t.Nred)
+                    Ieff_w = (IeffBase[sl]
+                              + Psi[sl] * (srcNum[sl] - etaA_w))
+                else:
+                    Ieff_w = Ieff[sl]
                 Psi_w = Psi[sl]
                 I_w = I[sl]
                 chi_i = level_sum_on_window(chiT[ai], a, t,
