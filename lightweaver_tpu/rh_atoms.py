@@ -24,9 +24,10 @@ from . import constants as Const
 from .atomic_model import (AtomicLevel, AtomicModel, HydrogenicContinuum,
                            LinearCoreExpWings, LineType, VoigtLine)
 from .atomic_table import PeriodicTable
-from .broadening import (HydrogenLinearStarkBroadening, LineBroadening,
+from .broadening import (BarklemCrossSectionError,
+                         HydrogenLinearStarkBroadening, LineBroadening,
                          QuadraticStarkBroadening, RadiativeBroadening,
-                         VdwUnsold)
+                         VdwBarklem, VdwUnsold)
 from .collisional_rates import Omega, SeatonCI, VanRegemorter
 
 
@@ -285,12 +286,15 @@ def NaI_atom() -> AtomicModel:
               for (E, g, lab, st, J, L, S) in lv]
     lines = []
     for (i, j, f, t, qc, qw, nl) in ln:
+        # Barklem ABO theory for the neutral lines covered by the
+        # s-p/p-d tables, Unsold elsewhere
+        # (ref: /root/reference/lightweaver/broadening.py:237-291)
         lines.append(VoigtLine(
             j=j, i=i, f=f, type=t,
             quadrature=LinearCoreExpWings(qCore=qc, qWing=qw, Nlambda=nl),
             broadening=LineBroadening(
                 natural=[RadiativeBroadening(gamma=grad[j])],
-                elastic=[VdwUnsold(vals=[1.0, 1.0]),
+                elastic=[VdwBarklem(vals=[1.0, 1.0]),
                          QuadraticStarkBroadening(coeff=1.0)])))
     continua, collisions = [], []
     for i in range(5):
