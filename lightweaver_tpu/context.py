@@ -1131,6 +1131,71 @@ class Context:
         return self.formal_sol_gamma_matrices(lambdaIterate=True)
 
     # ------------------------------------------------------------------
+    def iterate_on_device(self, NmaxIter: int = 500, Nscatter: int = 3,
+                          JTol: float = 5e-3, popsTol: float = 1e-3):
+        """Run the full MALI loop (formal solution + Gamma + statistical
+        equilibrium + convergence test) as ONE compiled lax.while_loop on
+        the device -- zero host round trips until converged.
+
+        Covers the standard case: fixed collisions/CRSW, no PRD
+        sub-iterations, no Ng (use the Python driver for those).
+        Updates J/I/populations in place; returns (nIter, dJ, dPops).
+        ref design goal: SURVEY.md par.7.3 ('the full MALI loop runs
+        on-device').
+        """
+        self.compute_collisions()
+        if self._iter_fn is None:
+            self._iter_fn = jax.jit(
+                build_iteration_fn(self.cfg),
+                static_argnames=('lambdaIterate', 'storeDepthData'))
+        iterFn = build_iteration_fn(self.cfg)
+        baseParams = dict(self.build_params())
+        nTotals = [jnp.asarray(
+            self.eqPops.atomicPops[a.model.element].nTotal, self.dtype)
+            for a in self.cfg.activeAtoms]
+        dtc = self.dtype
+
+        def body(state):
+            it, J, pops, _dJ, _dPops = state
+            p = dict(baseParams)
+            p['J'] = J
+            p['pops'] = pops
+            out = iterFn(p)
+            popsNew = []
+            dPops = jnp.asarray(0.0, dtc)
+            for ai in range(len(pops)):
+                nNew = _stat_eq_solve(out['Gamma'][ai], pops[ai],
+                                      nTotals[ai]).astype(dtc)
+                # pure-Lambda warmup: keep the initial populations
+                nNew = jnp.where(it < Nscatter, pops[ai], nNew)
+                dPops = jnp.maximum(dPops, jnp.max(jnp.abs(
+                    1.0 - pops[ai] / nNew)))
+                popsNew.append(nNew)
+            dPops = jnp.where(it < Nscatter, jnp.asarray(1.0, dtc), dPops)
+            return (it + 1, out['J'], popsNew, out['dJ'].astype(dtc),
+                    dPops)
+
+        def cond(state):
+            it, _J, _pops, dJ, dPops = state
+            return jnp.logical_and(
+                it < NmaxIter,
+                jnp.logical_or(it <= Nscatter,
+                               jnp.logical_or(dJ >= JTol,
+                                              dPops >= popsTol)))
+
+        state0 = (jnp.asarray(0), self.J,
+                  [st['n'] for st in self.popsState],
+                  jnp.asarray(1.0, dtc), jnp.asarray(1.0, dtc))
+        runner = jax.jit(lambda s: jax.lax.while_loop(cond, body, s))
+        it, J, pops, dJ, dPops = runner(state0)
+        self.J = J
+        for st, n in zip(self.popsState, pops):
+            st['n'] = n
+        # refresh I (and Gamma/rates) consistently with the final state
+        self.formal_sol_gamma_matrices()
+        return int(it), float(dJ), float(dPops)
+
+    # ------------------------------------------------------------------
     def compute_polarised_profiles(self):
         """Zeeman-split polarised profiles per polarisable line:
         phi (I), phi_{Q,U,V}, psi_{Q,U,V}, each [W, Nmu, 2, Nk], from the
