@@ -278,7 +278,10 @@ def build_iteration_fn(cfg: IterConfig):
                     Iupw = Bn - (Bn1 - Bn) / dtau
                 else:
                     Iupw = jnp.zeros((Nlam, Nx), dt)
-                I_m, Psi_m = formal_sol_2d(chi_m, S_m, geom, Iupw)
+                interp2d = ('besser' if 'besser' in cfg.formalSolver
+                            else 'linear')
+                I_m, Psi_m = formal_sol_2d(chi_m, S_m, geom, Iupw,
+                                           interp=interp2d)
                 Imu.append(I_m.reshape(Nlam, Nk))
                 PsiMu.append(Psi_m.reshape(Nlam, Nk))
             Iparts.append(jnp.stack(Imu, axis=1))

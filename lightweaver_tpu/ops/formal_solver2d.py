@@ -23,7 +23,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .formal_solver import w2
+from .formal_solver import besser_control_point, w2
+
+
+def _besser_interp(yM, yO, yP, u):
+    """Monotonic quadratic-Bezier interpolation between yM (u=0) and yO
+    (u=1) with the third upwind point yP shaping the control point
+    (uniform spacing).  ref: interp_besser_2d,
+    /root/reference/Source/FormalScalar2d.cpp:297-434"""
+    cM = besser_control_point(1.0, 1.0, yM, yO, yP)
+    return (1.0 - u) ** 2 * yM + 2.0 * u * (1.0 - u) * cM + u ** 2 * yO
 
 
 def build_geometry_2d(x, z, mux, muz, toObs):
@@ -99,21 +108,26 @@ def _ring_affine_solve(A, b):
     return jnp.moveaxis(I, 0, -1)
 
 
-@partial(jax.jit, static_argnames=('dj',))
-def _sweep_2d(chi, S, geomAxisZ, geomW, geomDs, Iupw, dj):
+@partial(jax.jit, static_argnames=('dj', 'interp'))
+def _sweep_2d(chi, S, geomAxisZ, geomW, geomDs, Iupw, dj, interp='linear'):
     """z-plane sweep for one ray group.
 
     chi, S: [B, Nzs, Nx] already reordered into sweep order along axis 1;
     geom*: [Nzs-1, Nx]; Iupw: [B, Nx] starting-plane intensity.
+    interp: 'linear' | 'besser' upwind interpolation for chi and S
+    (the intensity interpolation stays linear so the in-plane coupling
+    remains an affine ring system -- a TPU-native compromise vs the
+    reference's fully-BESSER sweep).
     Returns I, Psi (undivided): [B, Nzs, Nx] in sweep order.
     """
     B, Nzs, Nx = chi.shape
     jPrev = (jnp.arange(Nx) - dj) % Nx
+    jPrev2 = (jnp.arange(Nx) - 2 * dj) % Nx
     ringOrder = jnp.arange(Nx) if dj > 0 else jnp.arange(Nx)[::-1]
     invOrder = jnp.argsort(ringOrder)
 
     def plane_step(Iprev, inputs):
-        chiP, chiC, SP, SC, axisZ, w, ds = inputs
+        chiP2, chiP, chiC, SP2, SP, SC, axisZ, w, ds = inputs
         # chiP/SP/Iprev: previous plane [B, Nx]; chiC/SC: current [B, Nx].
         # axis-Z (side face): upwind = (1-w)*(current, j-dj) + w*(prev, j-dj)
         # axis-X (prev plane): upwind = (1-w)*(prev, j) + w*(prev, j-dj)
@@ -121,12 +135,24 @@ def _sweep_2d(chi, S, geomAxisZ, geomW, geomDs, Iupw, dj):
         SPP = SP[:, jPrev]
         IPP = Iprev[:, jPrev]
 
-        chiUw = jnp.where(axisZ,
-                          (1.0 - w) * chiC[:, jPrev] + w * chiPP,
-                          (1.0 - w) * chiP + w * chiPP)
-        SUw = jnp.where(axisZ,
-                        (1.0 - w) * SC[:, jPrev] + w * SPP,
-                        (1.0 - w) * SP + w * SPP)
+        if interp == 'besser':
+            # 3-point monotonic stencils (third point one step further
+            # upwind): along x on the previous plane (axis-X) and along
+            # z on the upwind column (axis-Z)
+            chiUwX = _besser_interp(chiP, chiPP, chiP[:, jPrev2], w)
+            SUwX = _besser_interp(SP, SPP, SP[:, jPrev2], w)
+            chiUwZ = _besser_interp(chiC[:, jPrev], chiPP,
+                                    chiP2[:, jPrev], w)
+            SUwZ = _besser_interp(SC[:, jPrev], SPP, SP2[:, jPrev], w)
+            chiUw = jnp.where(axisZ, chiUwZ, chiUwX)
+            SUw = jnp.where(axisZ, SUwZ, SUwX)
+        else:
+            chiUw = jnp.where(axisZ,
+                              (1.0 - w) * chiC[:, jPrev] + w * chiPP,
+                              (1.0 - w) * chiP + w * chiPP)
+            SUw = jnp.where(axisZ,
+                            (1.0 - w) * SC[:, jPrev] + w * SPP,
+                            (1.0 - w) * SP + w * SPP)
 
         dtau = 0.5 * (chiUw + chiC) * ds
         w0, w1 = w2(dtau)
@@ -150,7 +176,13 @@ def _sweep_2d(chi, S, geomAxisZ, geomW, geomDs, Iupw, dj):
         Psi = w0 - w1 / dtau
         return Icur, (Icur, Psi)
 
-    inputs = (chi[:, :-1].swapaxes(0, 1), chi[:, 1:].swapaxes(0, 1),
+    # plane m-2 (duplicated at the first interval, where the 3-point
+    # stencil falls back towards linear)
+    chiP2 = jnp.concatenate([chi[:, :1], chi[:, :-2]], axis=1)
+    SP2 = jnp.concatenate([S[:, :1], S[:, :-2]], axis=1)
+    inputs = (chiP2.swapaxes(0, 1),
+              chi[:, :-1].swapaxes(0, 1), chi[:, 1:].swapaxes(0, 1),
+              SP2.swapaxes(0, 1),
               S[:, :-1].swapaxes(0, 1), S[:, 1:].swapaxes(0, 1),
               geomAxisZ, geomW, geomDs)
     _, (Iseq, PsiSeq) = jax.lax.scan(plane_step, Iupw, inputs)
@@ -160,13 +192,13 @@ def _sweep_2d(chi, S, geomAxisZ, geomW, geomDs, Iupw, dj):
     return I, Psi
 
 
-def formal_sol_2d(chi, S, geom, Iupw):
+def formal_sol_2d(chi, S, geom, Iupw, interp='linear'):
     """2D formal solution for one (mu, toObs) ray over a [Nz, Nx] grid.
 
     chi, S: [B, Nz, Nx] (natural z order, index 0 = top); geom from
     build_geometry_2d; Iupw: [B, Nx] boundary intensity at the sweep
-    start plane.  Returns I, Psi ([B, Nz, Nx], natural order; Psi
-    divided by chi).
+    start plane; interp: 'linear' | 'besser' upwind chi/S interpolation.
+    Returns I, Psi ([B, Nz, Nx], natural order; Psi divided by chi).
     """
     sweepZ = geom['sweepZ']
     chi_s = chi[:, sweepZ]
@@ -175,7 +207,7 @@ def formal_sol_2d(chi, S, geom, Iupw):
                            jnp.asarray(geom['axisZ']),
                            jnp.asarray(geom['w'], chi.dtype),
                            jnp.asarray(geom['ds'], chi.dtype),
-                           Iupw, int(geom['dj']))
+                           Iupw, int(geom['dj']), interp=interp)
     inv = np.argsort(sweepZ)
     I = I_s[:, inv]
     Psi = Psi_s[:, inv] / chi

@@ -100,3 +100,50 @@ def test_downward_sweep():
     tau = chi0 * np.abs(z - z[0]) / 0.6
     expected = S0 * (1.0 - np.exp(-tau))
     assert np.allclose(np.asarray(I)[0, :, 3], expected, rtol=1e-10)
+
+
+@pytest.mark.parametrize('mux,muz', [(0.6, 0.4), (-0.6, 0.4)])
+def test_besser_constant_slab_exact(mux, muz):
+    """BESSER upwind interpolation is exact for constant chi/S."""
+    x, z = _grid(Nz=25, Nx=10)
+    Nz, Nx = len(z), len(x)
+    chi0, S0, I0 = 3e-6, 2e-9, 7e-9
+    chi = jnp.full((1, Nz, Nx), chi0)
+    S = jnp.full((1, Nz, Nx), S0)
+    geom = build_geometry_2d(x, z, mux, muz, toObs=True)
+    I2, _ = formal_sol_2d(chi, S, geom, jnp.full((1, Nx), I0),
+                          interp='besser')
+    tau = chi0 * np.abs(z - z[-1]) / abs(muz)
+    expected = S0 + (I0 - S0) * np.exp(-tau)
+    assert np.allclose(np.asarray(I2)[0, :, 4], expected, rtol=1e-10)
+
+
+def test_besser_beats_linear_on_smooth_gradient():
+    """For a smooth quadratic S(x) structure, BESSER chi/S interpolation
+    reduces the error vs a refined-grid reference."""
+    Nz, NxC, NxF = 30, 12, 96
+    z = np.linspace(2e6, 0.0, Nz)
+    mux, muz = 0.8, 0.35
+
+    def fields(Nx):
+        x = np.linspace(0.0, 1.2e6, Nx, endpoint=False)
+        phase = 2 * np.pi * x / 1.2e6
+        chi = 2e-6 * (1.0 + 0.5 * np.sin(phase))[None, None, :] \
+            * np.ones((1, Nz, 1))
+        S = 2e-9 * (1.0 + 0.8 * np.cos(phase))[None, None, :] \
+            * np.ones((1, Nz, 1))
+        return x, jnp.asarray(chi), jnp.asarray(S)
+
+    xF, chiF, SF = fields(NxF)
+    geomF = build_geometry_2d(xF, z, mux, muz, toObs=True)
+    IF, _ = formal_sol_2d(chiF, SF, geomF, jnp.zeros((1, NxF)))
+    refTop = np.asarray(IF)[0, 0, ::NxF // NxC]
+
+    xC, chiC, SC = fields(NxC)
+    geomC = build_geometry_2d(xC, z, mux, muz, toObs=True)
+    errs = {}
+    for interp in ('linear', 'besser'):
+        IC, _ = formal_sol_2d(chiC, SC, geomC, jnp.zeros((1, NxC)),
+                              interp=interp)
+        errs[interp] = np.abs(np.asarray(IC)[0, 0] / refTop - 1.0).max()
+    assert errs['besser'] <= errs['linear'] * 1.05, errs
