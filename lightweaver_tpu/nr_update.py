@@ -93,6 +93,26 @@ def build_nr_fn(Nlevels: Sequence[int], stagesList: Sequence[np.ndarray],
         dF = dF.at[:, Neqn - 1, Neqn - 1].set(1.0)
 
         delta = batched_solve(dF, -F)                       # [Nk, Neqn]
+
+        # positivity-preserving step limiting: scale the whole Newton
+        # step per depth point so no population (or ne) is driven below
+        # 10% of its current value.  Full steps are taken near the
+        # solution (s -> 1); far from it this prevents the catastrophic
+        # overshoots a raw Newton produces on hard starts.
+        x = jnp.concatenate([jnp.moveaxis(n, -1, 0) for n in ns]
+                            + [ne[:, None]], axis=1)        # [Nk, Neqn]
+        shrinkRatio = jnp.where(delta < 0.0,
+                                -x / jnp.where(delta < 0.0, delta, -1.0),
+                                jnp.inf)
+        growthRatio = jnp.where(delta > 0.0,
+                                9.0 * x / jnp.where(delta > 0.0, delta,
+                                                    1.0),
+                                jnp.inf)
+        s = jnp.minimum(1.0, jnp.minimum(
+            0.9 * jnp.min(shrinkRatio, axis=1),
+            jnp.min(growthRatio, axis=1)))
+        delta = delta * s[:, None]
+
         newNs = []
         offset = 0
         for a in range(Natom):
