@@ -93,3 +93,33 @@ def test_nr_solve_exact_on_linear_system():
     # charge conservation
     assert np.allclose(neNew, np.einsum('l,lk->k', stages, nNew) + bgNe,
                        rtol=1e-12)
+
+
+@pytest.mark.slow
+def test_conserve_charge_full_species_set():
+    """Regression: H+Ca active with the full 12-species background used
+    to overshoot into negative ne / NaN (or period-2 cycles) under raw
+    Newton; with step limiting it converges like the fixed-ne run."""
+    from lightweaver_tpu.rh_atoms import (Al_atom, C_atom, Fe_atom, He_atom,
+                                          MgII_atom, N_atom, NaI_atom,
+                                          O_atom, S_atom, Si_atom)
+    atmos = _atmos(nDepth=30)
+    atmos.quadrature(3)
+    rs = RadiativeSet([H_6_atom(), CaII_atom(), C_atom(), O_atom(),
+                       Si_atom(), Al_atom(), Fe_atom(), He_atom(),
+                       MgII_atom(), N_atom(), NaI_atom(), S_atom()])
+    rs.set_active('H', 'Ca')
+    spect = rs.compute_wavelength_grid()
+    eqPops = rs.compute_eq_pops(atmos)
+    ctx = Context(atmos, spect, eqPops, conserveCharge=True)
+    for it in range(250):
+        ju = ctx.formal_sol_gamma_matrices()
+        if it < 3:
+            continue
+        pu = ctx.stat_equil()
+        assert np.isfinite(pu.dPopsMax), f'NaN at iteration {it}'
+        if (float(ju.dJMax) < 5e-3 and pu.dPopsMax < 1e-3
+                and pu.dNeMax < 1e-3):
+            break
+    assert it < 249
+    assert np.all(atmos.ne > 0)
