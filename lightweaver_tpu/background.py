@@ -284,14 +284,16 @@ def basic_background(spect, atmos, eqPops, radSet) -> Background:
     chi += c
     eta += c * Bnu
 
-    # molecular terms when chemical-equilibrium populations are present
-    # (ref: /root/reference/Source/Background.cpp:158-1050)
+    # H2+ ff needs only H populations, so the reference computes it
+    # unconditionally (ref: /root/reference/Source/Background.cpp:295
+    # `computePlus(a.Nspace == H.shape(1))`); H2- ff and H2 Rayleigh
+    # additionally need molecular H2 populations.
+    c = h2plus_ff(lam, T, nH0, nProton)
+    chi += c
+    eta += c * Bnu
     if 'H2' in eqPops:
         nH2 = eqPops['H2']
         c = h2minus_ff(lam, T, ne, nH2)
-        chi += c
-        eta += c * Bnu
-        c = h2plus_ff(lam, T, nH0, nProton)
         chi += c
         eta += c * Bnu
         sca += rayleigh_h2(lam, nH2)

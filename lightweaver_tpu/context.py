@@ -363,11 +363,15 @@ def build_iteration_fn(cfg: IterConfig):
         params['allPops'] = list(params['pops']) + list(params['detPops'])
         allNStar = list(params['nStar']) + list(params['detNStar'])
         params['nStar'] = allNStar
-        Jdag = params['J']
+        # J is carried in accumDtype (dJ at 5e-3 tolerance needs ~1e-4
+        # relative precision in J, below the f32 noise floor of the
+        # wmu-reduction); the formal solve consumes it at working dtype.
+        Jdag = params['J'].astype(cfg.accumDtype)
+        JdagW = params['J'].astype(cfg.dtype)
 
         chiTot, etaTot, chiT, etaT, UjiT = gather(params)
         srcNum = (etaTot
-                  + params['bgSca'][:, None, None, :] * Jdag[:, None, None, :])
+                  + params['bgSca'][:, None, None, :] * JdagW[:, None, None, :])
         S = srcNum / chiTot
         if cfg.Ndim == 2:
             I, Psi = formal_solve_2d(params, chiTot, S)
@@ -379,7 +383,8 @@ def build_iteration_fn(cfg: IterConfig):
             Psi = jnp.zeros_like(Psi)
             IeffBase = I
 
-        Jnew = jnp.einsum('lmdk,m->lk', I, 0.5 * wmu)
+        Jnew = jnp.einsum('lmdk,m->lk', I.astype(cfg.accumDtype),
+                          0.5 * wmu.astype(cfg.accumDtype))
         dJ = jnp.max(jnp.abs(1.0 - jnp.where(Jnew != 0.0, Jdag / Jnew, 1.0)))
 
         JRest = None
@@ -727,7 +732,7 @@ class Context:
         self.temperature = jnp.asarray(atmos.temperature, dtc)
         self.height = jnp.asarray(atmos.height, dtc)
 
-        self.J = jnp.zeros((spect.Nspect, atmos.Nspace), dtc)
+        self.J = jnp.zeros((spect.Nspect, atmos.Nspace), accumDtype)
         self.I = jnp.zeros((spect.Nspect, atmos.Nrays), dtc)
         self.popsState = []
         for a in activeAtoms:
@@ -1343,7 +1348,8 @@ class Context:
         chiI = chi7[:, :, 0, :]
         S4 = eta4 / chiI[:, :, None, :]
         S4 = S4.at[:, :, 0, :].add(
-            (self.bgEta + self.bgSca * self.J)[:, None, :] / chiI)
+            (self.bgEta
+             + self.bgSca * self.J.astype(dt))[:, None, :] / chiI)
 
         # thermalised lower boundary for Stokes I; Q=U=V=0
         lamGrid = jnp.asarray(cfg.wavelength, dt)
@@ -1371,8 +1377,9 @@ class Context:
         self.I = Ifull[:, :, 0, 0]
         self.Quv = jnp.moveaxis(Ifull[:, :, 1:, 0], 2, 0)   # [3, Nlam, Nmu]
         if updateJ:
-            self.J = jnp.einsum('lmk,m->lk', Ifull[:, :, 0, :],
-                                0.5 * jnp.asarray(cfg.wmu, dt))
+            self.J = jnp.einsum('lmk,m->lk',
+                                Ifull[:, :, 0, :].astype(self.accumDtype),
+                                0.5 * jnp.asarray(cfg.wmu, self.accumDtype))
         return IterationUpdate(self, updatedJ=updateJ)
 
     # ------------------------------------------------------------------
@@ -1566,12 +1573,12 @@ class Context:
         newLam = np.asarray(spect.wavelength)
         Jold = state['J']
         if (len(newLam) == len(oldLam)) and np.allclose(newLam, oldLam):
-            ctx.J = jnp.asarray(Jold, ctx.dtype)
+            ctx.J = jnp.asarray(Jold, ctx.accumDtype)
         else:
             Jnew = np.empty((len(newLam), Jold.shape[1]))
             for k in range(Jold.shape[1]):
                 Jnew[:, k] = np.interp(newLam, oldLam, Jold[:, k])
-            ctx.J = jnp.asarray(Jnew, ctx.dtype)
+            ctx.J = jnp.asarray(Jnew, ctx.accumDtype)
         for st, n, nStar in zip(ctx.popsState, state['pops'], state['nStar']):
             st['n'] = jnp.asarray(n, ctx.dtype)
             st['nStar'] = jnp.asarray(nStar, ctx.dtype)

@@ -1,0 +1,472 @@
+// Standalone golden-reference driver.
+//
+// Compiles the UNMODIFIED reference C++ core (/root/reference/Source,
+// Goobley/Lightweaver) into a command-line program that runs a 1D MALI
+// statistical-equilibrium problem from exported arrays, with no Cython/Python
+// dependency. It replicates the wiring the reference's Cython middle layer
+// performs (LwMiddleLayer.pyx:580-3520) so that the genuine reference kernels
+// (compute_phi, basic_background, formal_sol_gamma_matrices, stat_eq) produce
+// golden artifacts for lightweaver_tpu's regression tests.
+//
+// This file is original code written for the lightweaver_tpu project; only
+// the *headers* of the reference are included, and the reference core is
+// linked unmodified. Nothing here ships in the framework package.
+//
+// Usage: refgold_driver <input_dir> <output_dir>
+//   input_dir must contain manifest.txt + .npy arrays (see export_inputs.py).
+
+#include "Lightweaver.hpp"
+#include "Background.hpp"
+#include "LwInternal.hpp"
+#include "npyio.hpp"
+
+#include <cstdio>
+#include <fstream>
+#include <map>
+#include <memory>
+#include <sstream>
+#include <string>
+#include <vector>
+
+using npyio::NpyArray;
+
+struct TransHolder
+{
+    Transition trans;
+    NpyArray wavelength;   // local grid [Nlt]
+    NpyArray aDamp;        // lines
+    NpyArray alpha;        // continua
+    NpyArray activeMask;   // i8 [Nspect]
+    std::vector<double> phi;   // [Nlt, Nrays, 2, Nspace]
+    std::vector<double> wphi;  // [Nspace]
+    std::vector<double> Qelast;
+    std::vector<double> Rij, Rji;
+};
+
+struct AtomHolder
+{
+    Atom atom;
+    NpyArray n, nStar, nTotal, vBroad, stages, C0;
+    std::vector<double> Gamma, C;
+    std::vector<TransHolder*> trans;
+};
+
+static RadiationBc parse_bc(const std::string& s)
+{
+    if (s == "ZERO")
+        return RadiationBc::ZERO;
+    if (s == "THERMALISED")
+        return RadiationBc::THERMALISED;
+    if (s == "PERIODIC")
+        return RadiationBc::PERIODIC;
+    std::fprintf(stderr, "Unknown BC %s\n", s.c_str());
+    std::exit(1);
+}
+
+int main(int argc, char** argv)
+{
+    if (argc != 3)
+    {
+        std::fprintf(stderr, "usage: %s <input_dir> <output_dir>\n", argv[0]);
+        return 1;
+    }
+    std::string in = argv[1];
+    std::string out = argv[2];
+    auto ipath = [&](const std::string& name) { return in + "/" + name; };
+    auto opath = [&](const std::string& name) { return out + "/" + name; };
+
+    // ---- Manifest ----------------------------------------------------------
+    std::ifstream mf(ipath("manifest.txt"));
+    if (!mf)
+    {
+        std::fprintf(stderr, "cannot open manifest\n");
+        return 1;
+    }
+    int Nspace = 0, Nrays = 0, Nspect = 0, Ndim = 1;
+    int Nscatter = 3, maxIter = 500, Natoms = 0;
+    double JTol = 5e-3, popsTol = 1e-3;
+    std::string zLower = "THERMALISED", zUpper = "ZERO";
+    std::string solverName = "piecewise_bezier3_1d";
+    struct TransSpec
+    {
+        std::string type;
+        int i, j, Nblue, Nred;
+        double Aji, Bji, Bij, lambda0;
+    };
+    struct AtomSpec
+    {
+        int Nlevel;
+        std::vector<TransSpec> trans;
+    };
+    std::vector<AtomSpec> atomSpecs;
+
+    std::string key;
+    while (mf >> key)
+    {
+        if (key == "Nspace") mf >> Nspace;
+        else if (key == "Nrays") mf >> Nrays;
+        else if (key == "Nspect") mf >> Nspect;
+        else if (key == "Ndim") mf >> Ndim;
+        else if (key == "Nscatter") mf >> Nscatter;
+        else if (key == "maxIter") mf >> maxIter;
+        else if (key == "JTol") mf >> JTol;
+        else if (key == "popsTol") mf >> popsTol;
+        else if (key == "zLowerBc") mf >> zLower;
+        else if (key == "zUpperBc") mf >> zUpper;
+        else if (key == "formalSolver") mf >> solverName;
+        else if (key == "Natoms") mf >> Natoms;
+        else if (key == "atom")
+        {
+            AtomSpec a;
+            int Ntrans;
+            mf >> a.Nlevel >> Ntrans;
+            a.trans.resize(Ntrans);
+            atomSpecs.push_back(a);
+        }
+        else if (key == "trans")
+        {
+            auto& a = atomSpecs.back();
+            TransSpec t;
+            mf >> t.type >> t.i >> t.j >> t.Aji >> t.Bji >> t.Bij >> t.lambda0
+               >> t.Nblue >> t.Nred;
+            for (auto& slot : a.trans)
+            {
+                if (slot.type.empty())
+                {
+                    slot = t;
+                    break;
+                }
+            }
+        }
+        else
+        {
+            std::string skip;
+            std::getline(mf, skip);
+        }
+    }
+
+    // ---- Atmosphere --------------------------------------------------------
+    NpyArray z = npyio::load(ipath("z.npy"));
+    NpyArray temperature = npyio::load(ipath("temperature.npy"));
+    NpyArray ne = npyio::load(ipath("ne.npy"));
+    NpyArray vz = npyio::load(ipath("vz.npy"));
+    NpyArray vturb = npyio::load(ipath("vturb.npy"));
+    NpyArray nHTot = npyio::load(ipath("nHTot.npy"));
+    NpyArray muz = npyio::load(ipath("muz.npy"));
+    NpyArray mux = npyio::load(ipath("mux.npy"));
+    NpyArray muy = npyio::load(ipath("muy.npy"));
+    NpyArray wmu = npyio::load(ipath("wmu.npy"));
+    std::vector<double> vlosMu((size_t)Nrays * Nspace, 0.0);
+    std::vector<double> vxDummy(Nspace, 0.0), vyDummy(Nspace, 0.0);
+
+    Atmosphere atmos;
+    atmos.Nspace = Nspace;
+    atmos.Nrays = Nrays;
+    atmos.Ndim = Ndim;
+    atmos.Nx = 0;
+    atmos.Ny = 0;
+    atmos.Nz = Nspace;
+    atmos.Noutgoing = 1;
+    atmos.z = F64View(z.f64.data(), Nspace);
+    atmos.height = F64View(z.f64.data(), Nspace);
+    atmos.temperature = F64View(temperature.f64.data(), Nspace);
+    atmos.ne = F64View(ne.f64.data(), Nspace);
+    atmos.vx = F64View(vxDummy.data(), Nspace);
+    atmos.vy = F64View(vyDummy.data(), Nspace);
+    atmos.vz = F64View(vz.f64.data(), Nspace);
+    atmos.vturb = F64View(vturb.f64.data(), Nspace);
+    atmos.nHTot = F64View(nHTot.f64.data(), Nspace);
+    atmos.muz = F64View(muz.f64.data(), Nrays);
+    atmos.muy = F64View(muy.f64.data(), Nrays);
+    atmos.mux = F64View(mux.f64.data(), Nrays);
+    atmos.wmu = F64View(wmu.f64.data(), Nrays);
+    atmos.vlosMu = F64View2D(vlosMu.data(), Nrays, Nspace);
+
+    std::vector<int32_t> bcIdxDummy(Nrays * 2, -1);
+    BcIdxs bcIdxs(bcIdxDummy.data(), Nrays, 2);
+    atmos.zLowerBc = AtmosphericBoundaryCondition(parse_bc(zLower), Nspect, Nrays, 1, bcIdxs);
+    atmos.zUpperBc = AtmosphericBoundaryCondition(parse_bc(zUpper), Nspect, Nrays, 1, bcIdxs);
+    atmos.xLowerBc = AtmosphericBoundaryCondition();
+    atmos.xUpperBc = AtmosphericBoundaryCondition();
+    atmos.yLowerBc = AtmosphericBoundaryCondition();
+    atmos.yUpperBc = AtmosphericBoundaryCondition();
+
+    atmos.update_projections();
+    build_intersection_list(&atmos);
+
+    // ---- Spectrum ----------------------------------------------------------
+    NpyArray wavelength = npyio::load(ipath("wavelength.npy"));
+    std::vector<double> Ibuf((size_t)Nspect * Nrays * 1, 0.0);
+    std::vector<double> Jbuf((size_t)Nspect * Nspace, 0.0);
+    Spectrum spect;
+    spect.wavelength = F64View(wavelength.f64.data(), Nspect);
+    spect.I = F64View3D(Ibuf.data(), Nspect, Nrays, 1);
+    spect.J = F64View2D(Jbuf.data(), Nspect, Nspace);
+
+    // ---- Background (precomputed arrays fed to the iteration) --------------
+    NpyArray bgChi = npyio::load(ipath("bg_chi.npy"));
+    NpyArray bgEta = npyio::load(ipath("bg_eta.npy"));
+    NpyArray bgSca = npyio::load(ipath("bg_sca.npy"));
+    Background background;
+    background.chi = F64View2D(bgChi.f64.data(), Nspect, Nspace);
+    background.eta = F64View2D(bgEta.f64.data(), Nspect, Nspace);
+    background.sca = F64View2D(bgSca.f64.data(), Nspect, Nspace);
+
+    // ---- Atoms and transitions ---------------------------------------------
+    std::vector<std::unique_ptr<AtomHolder>> atoms;
+    std::vector<std::unique_ptr<TransHolder>> transStore;
+
+    for (int ia = 0; ia < Natoms; ++ia)
+    {
+        auto holder = std::make_unique<AtomHolder>();
+        auto& spec = atomSpecs[ia];
+        std::string pre = "atom" + std::to_string(ia) + "_";
+        holder->n = npyio::load(ipath(pre + "n0.npy"));
+        holder->nStar = npyio::load(ipath(pre + "nstar.npy"));
+        holder->nTotal = npyio::load(ipath(pre + "ntotal.npy"));
+        holder->vBroad = npyio::load(ipath(pre + "vbroad.npy"));
+        holder->stages = npyio::load(ipath(pre + "stages.npy"));
+        holder->C0 = npyio::load(ipath(pre + "C.npy"));
+
+        Atom& a = holder->atom;
+        a.Nlevel = spec.Nlevel;
+        a.Ntrans = (int)spec.trans.size();
+        a.atmos = &atmos;
+        a.n = F64View2D(holder->n.f64.data(), spec.Nlevel, Nspace);
+        a.nStar = F64View2D(holder->nStar.f64.data(), spec.Nlevel, Nspace);
+        a.nTotal = F64View(holder->nTotal.f64.data(), Nspace);
+        a.vBroad = F64View(holder->vBroad.f64.data(), Nspace);
+        a.stages = F64View(holder->stages.f64.data(), spec.Nlevel);
+        holder->Gamma.assign((size_t)spec.Nlevel * spec.Nlevel * Nspace, 0.0);
+        holder->C.assign(holder->C0.f64.begin(), holder->C0.f64.end());
+        a.Gamma = F64View3D(holder->Gamma.data(), spec.Nlevel, spec.Nlevel, Nspace);
+        a.C = F64View3D(holder->C.data(), spec.Nlevel, spec.Nlevel, Nspace);
+        a.methodScratch = nullptr;
+
+        for (int it = 0; it < (int)spec.trans.size(); ++it)
+        {
+            auto th = std::make_unique<TransHolder>();
+            auto& ts = spec.trans[it];
+            std::string tpre = pre + "trans" + std::to_string(it) + "_";
+            th->wavelength = npyio::load(ipath(tpre + "wavelength.npy"));
+            th->activeMask = npyio::load(ipath(tpre + "active.npy"));
+            int Nlt = (int)th->wavelength.shape[0];
+
+            Transition& t = th->trans;
+            t.i = ts.i;
+            t.j = ts.j;
+            t.Nblue = ts.Nblue;
+            t.Nred = ts.Nred;
+            t.lambda0 = ts.lambda0;
+            t.polarised = false;
+            t.wavelength = F64View(th->wavelength.f64.data(), Nlt);
+            t.active = BoolView((bool*)th->activeMask.i8.data(), Nspect);
+            th->Rij.assign(Nspace, 0.0);
+            th->Rji.assign(Nspace, 0.0);
+            t.Rij = F64View(th->Rij.data(), Nspace);
+            t.Rji = F64View(th->Rji.data(), Nspace);
+            t.methodScratch = nullptr;
+
+            if (ts.type == "LINE")
+            {
+                t.type = TransitionType::LINE;
+                t.Aji = ts.Aji;
+                t.Bji = ts.Bji;
+                t.Bij = ts.Bij;
+                t.dopplerWidth = Constants::CLight / t.lambda0;
+                th->aDamp = npyio::load(ipath(tpre + "adamp.npy"));
+                th->Qelast.assign(Nspace, 0.0);
+                t.aDamp = F64View(th->aDamp.f64.data(), Nspace);
+                t.Qelast = F64View(th->Qelast.data(), Nspace);
+                th->phi.assign((size_t)Nlt * Nrays * 2 * Nspace, 0.0);
+                th->wphi.assign(Nspace, 0.0);
+                t.phi = F64View4D(th->phi.data(), Nlt, Nrays, 2, Nspace);
+                t.wphi = F64View(th->wphi.data(), Nspace);
+            }
+            else
+            {
+                t.type = TransitionType::CONTINUUM;
+                t.dopplerWidth = 1.0;
+                th->alpha = npyio::load(ipath(tpre + "alpha.npy"));
+                t.alpha = F64View(th->alpha.f64.data(), Nlt);
+            }
+
+            a.trans.push_back(&t);
+            holder->trans.push_back(th.get());
+            transStore.push_back(std::move(th));
+        }
+
+        a.init_scratch(Nspace, false, true, true);
+        a.ng = Ng(0, 0, 0, a.n.flatten());
+        atoms.push_back(std::move(holder));
+    }
+
+    // ---- Line profiles (reference Faddeeva) --------------------------------
+    for (int ia = 0; ia < Natoms; ++ia)
+    {
+        auto& holder = atoms[ia];
+        for (int it = 0; it < (int)holder->trans.size(); ++it)
+        {
+            Transition& t = holder->trans[it]->trans;
+            if (t.type != TransitionType::LINE)
+                continue;
+            t.compute_phi(atmos, t.aDamp, holder->atom.vBroad);
+            t.compute_wphi(atmos);
+            std::string tag = "a" + std::to_string(ia) + "t" + std::to_string(it);
+            npyio::save(opath("out_phi_" + tag + ".npy"), holder->trans[it]->phi.data(),
+                        {t.wavelength.shape(0), Nrays, 2, Nspace});
+            npyio::save(opath("out_wphi_" + tag + ".npy"), holder->trans[it]->wphi.data(),
+                        {Nspace});
+        }
+    }
+
+    // ---- basic_background golden (H-, H ff, H2, OH/CH, Thomson only) -------
+    {
+        NpyArray hPops = npyio::load(ipath("bgin_hpops.npy"));
+        NpyArray hMinus = npyio::load(ipath("bgin_hminus.npy"));
+        int NhLevel = (int)hPops.shape[0];
+        std::vector<double> bchi((size_t)Nspect * Nspace, 0.0);
+        std::vector<double> beta((size_t)Nspect * Nspace, 0.0);
+        std::vector<double> bsca((size_t)Nspect * Nspace, 0.0);
+        BackgroundData bd;
+        bd.hPops = F64View2D(hPops.f64.data(), NhLevel, Nspace);
+        bd.hMinusPops = F64View(hMinus.f64.data(), Nspace);
+        NpyArray h2Pops, ohPops, chPops;
+        try
+        {
+            h2Pops = npyio::load(ipath("bgin_h2.npy"));
+            bd.h2Pops = F64View(h2Pops.f64.data(), Nspace);
+        }
+        catch (const std::exception&) {}
+        try
+        {
+            ohPops = npyio::load(ipath("bgin_oh.npy"));
+            bd.ohPops = F64View(ohPops.f64.data(), Nspace);
+        }
+        catch (const std::exception&) {}
+        try
+        {
+            chPops = npyio::load(ipath("bgin_ch.npy"));
+            bd.chPops = F64View(chPops.f64.data(), Nspace);
+        }
+        catch (const std::exception&) {}
+        bd.wavelength = F64View(wavelength.f64.data(), Nspect);
+        bd.chi = F64View2D(bchi.data(), Nspect, Nspace);
+        bd.eta = F64View2D(beta.data(), Nspect, Nspace);
+        bd.scatt = F64View2D(bsca.data(), Nspect, Nspace);
+        basic_background(&bd, &atmos);
+        npyio::save(opath("out_bb_chi.npy"), bchi.data(), {Nspect, Nspace});
+        npyio::save(opath("out_bb_eta.npy"), beta.data(), {Nspect, Nspace});
+        npyio::save(opath("out_bb_sca.npy"), bsca.data(), {Nspect, Nspace});
+    }
+
+    // ---- Context -----------------------------------------------------------
+    DepthData depthData;
+    depthData.fill = false;
+
+    Context ctx;
+    ctx.atmos = &atmos;
+    ctx.spect = &spect;
+    ctx.background = &background;
+    ctx.depthData = &depthData;
+    ctx.Nthreads = 1;
+    ctx.methodScratch = nullptr;
+    for (auto& holder : atoms)
+        ctx.activeAtoms.push_back(&holder->atom);
+
+    FormalSolverManager fsManager;
+    bool fsFound = false;
+    for (auto& fs : fsManager.formalSolvers)
+    {
+        if (solverName == fs.name)
+        {
+            ctx.formalSolver = fs;
+            fsFound = true;
+        }
+    }
+    if (!fsFound)
+    {
+        std::fprintf(stderr, "unknown solver %s\n", solverName.c_str());
+        return 1;
+    }
+    InterpFnManager interpManager;
+    ctx.interpFn = interpManager.fns[0];
+    FsIterationFnsManager iterManager;
+    ctx.iterFns = iterManager.fns[0];
+
+    ctx.initialise_threads();
+
+    // ---- MALI loop (mirrors iterate_ctx_se, fixed collisional rates) -------
+    std::vector<double> dJHist, dPopsHist;
+    int itConverged = -1;
+    for (int it = 0; it < maxIter; ++it)
+    {
+        for (auto& holder : atoms)
+        {
+            // Gamma <- crsw * C with crsw = 1 (LwMiddleLayer.pyx:3198-3203)
+            std::copy(holder->C.begin(), holder->C.end(), holder->Gamma.begin());
+        }
+        IterationResult fsResult = formal_sol_gamma_matrices(ctx, false);
+        dJHist.push_back(fsResult.dJMax);
+
+        if (it == 0)
+        {
+            npyio::save(opath("out_J_iter1.npy"), Jbuf.data(), {Nspect, Nspace});
+            npyio::save(opath("out_I_iter1.npy"), Ibuf.data(), {Nspect, Nrays});
+            for (int ia = 0; ia < Natoms; ++ia)
+            {
+                int Nl = atoms[ia]->atom.Nlevel;
+                npyio::save(opath("out_Gamma_iter1_a" + std::to_string(ia) + ".npy"),
+                            atoms[ia]->Gamma.data(), {Nl, Nl, Nspace});
+            }
+        }
+
+        if (it < Nscatter)
+        {
+            dPopsHist.push_back(1.0);
+            continue;
+        }
+
+        double dPopsMax = 0.0;
+        for (auto& holder : atoms)
+        {
+            stat_eq(ctx, &holder->atom);
+            holder->atom.ng.accelerate(holder->atom.n.flatten());
+            auto change = holder->atom.ng.max_change();
+            dPopsMax = std::max(dPopsMax, change.dMax);
+        }
+        dPopsHist.push_back(dPopsMax);
+
+        if (fsResult.dJMax < JTol && dPopsMax < popsTol)
+        {
+            itConverged = it;
+            break;
+        }
+    }
+
+    // ---- Converged outputs --------------------------------------------------
+    npyio::save(opath("out_J.npy"), Jbuf.data(), {Nspect, Nspace});
+    npyio::save(opath("out_I.npy"), Ibuf.data(), {Nspect, Nrays});
+    for (int ia = 0; ia < Natoms; ++ia)
+    {
+        auto& holder = atoms[ia];
+        int Nl = holder->atom.Nlevel;
+        npyio::save(opath("out_pops_a" + std::to_string(ia) + ".npy"),
+                    holder->n.f64.data(), {Nl, Nspace});
+        for (int it = 0; it < (int)holder->trans.size(); ++it)
+        {
+            std::string tag = "a" + std::to_string(ia) + "t" + std::to_string(it);
+            npyio::save(opath("out_Rij_" + tag + ".npy"), holder->trans[it]->Rij.data(), {Nspace});
+            npyio::save(opath("out_Rji_" + tag + ".npy"), holder->trans[it]->Rji.data(), {Nspace});
+        }
+    }
+    double nIter = (double)(itConverged >= 0 ? itConverged + 1 : -1);
+    npyio::save(opath("out_niter.npy"), &nIter, {1});
+    npyio::save(opath("out_dJ_hist.npy"), dJHist.data(), {(int64_t)dJHist.size()});
+    npyio::save(opath("out_dPops_hist.npy"), dPopsHist.data(), {(int64_t)dPopsHist.size()});
+
+    std::printf("refgold: converged=%d iterations=%d dJ=%.3e\n",
+                itConverged >= 0, itConverged + 1,
+                dJHist.empty() ? 0.0 : dJHist.back());
+    return 0;
+}

@@ -1,0 +1,136 @@
+"""Export the FAL-C H_6 + Ca II problem from lightweaver_tpu in the array
+format consumed by the golden-reference driver (driver.cpp).
+
+Both sides then consume byte-identical derived inputs (atmosphere, collision
+matrices, damping parameters, background, initial populations), so any output
+difference isolates the radiative-transfer core: profiles, uv, formal solve,
+Gamma accumulation, and statistical equilibrium.
+
+Run: JAX_PLATFORMS=cpu python scripts/refgold/export_inputs.py <outdir> [config]
+Configs: falc_h6ca (default; H_6 + Ca II both active, 5 rays, bezier3).
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..', '..'))
+
+os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+import jax
+
+jax.config.update('jax_platforms', 'cpu')
+jax.config.update('jax_enable_x64', True)
+
+import numpy as np  # noqa: E402
+
+from lightweaver_tpu.atomic_set import RadiativeSet  # noqa: E402
+from lightweaver_tpu.context import Context  # noqa: E402
+from lightweaver_tpu.fal import Falc82  # noqa: E402
+from lightweaver_tpu.rh_atoms import CaII_atom, H_6_atom  # noqa: E402
+
+
+def build_ctx(config: str):
+    atmos = Falc82()
+    atmos.quadrature(5)
+    if config == 'falc_h6ca':
+        rs = RadiativeSet([H_6_atom(), CaII_atom()])
+        rs.set_active('H', 'Ca')
+    elif config == 'falc_ca':
+        rs = RadiativeSet([H_6_atom(), CaII_atom()])
+        rs.set_active('Ca')
+    else:
+        raise ValueError(f'unknown config {config}')
+    spect = rs.compute_wavelength_grid()
+    eqPops = rs.compute_eq_pops(atmos)
+    ctx = Context(atmos, spect, eqPops, formalSolver='piecewise_bezier3_1d')
+    return ctx
+
+
+def export(ctx, outdir):
+    os.makedirs(outdir, exist_ok=True)
+
+    def save(name, arr):
+        np.save(os.path.join(outdir, name + '.npy'),
+                np.ascontiguousarray(np.asarray(arr, dtype=np.float64)))
+
+    atmos = ctx.atmos
+    spect = ctx.spect
+    save('z', atmos.height)
+    save('temperature', atmos.temperature)
+    save('ne', atmos.ne)
+    save('vz', atmos.vlos if atmos.vlos is not None else np.zeros(atmos.Nspace))
+    save('vturb', atmos.vturb)
+    save('nHTot', atmos.nHTot)
+    save('muz', atmos.muz)
+    save('mux', atmos.mux)
+    save('muy', atmos.muy)
+    save('wmu', atmos.wmu)
+    save('wavelength', spect.wavelength)
+    save('bg_chi', ctx.bgChi)
+    save('bg_eta', ctx.bgEta)
+    save('bg_sca', ctx.bgSca)
+
+    # basic_background inputs (reference C++ part: H-, H ff, H2, OH/CH,
+    # Thomson; /root/reference/Source/Background.cpp:1264).
+    eqPops = ctx.eqPops
+    save('bgin_hpops', eqPops['H'])
+    save('bgin_hminus', eqPops['H-'])
+    for sp, name in (('H2', 'bgin_h2'), ('OH', 'bgin_oh'), ('CH', 'bgin_ch')):
+        try:
+            save(name, eqPops[sp])
+        except LookupError:
+            pass
+
+    lines = []
+    lines.append(f'Nspace {atmos.Nspace}')
+    lines.append(f'Nrays {atmos.Nrays}')
+    lines.append(f'Nspect {spect.Nspect}')
+    lines.append('Ndim 1')
+    lines.append('zLowerBc THERMALISED')
+    lines.append('zUpperBc ZERO')
+    lines.append('formalSolver piecewise_bezier3_1d')
+    lines.append('Nscatter 3')
+    lines.append('maxIter 500')
+    lines.append('JTol 5e-3')
+    lines.append('popsTol 1e-3')
+    lines.append(f'Natoms {len(ctx.activeAtoms)}')
+
+    for ia, a in enumerate(ctx.activeAtoms):
+        pre = f'atom{ia}_'
+        st = ctx.popsState[ia]
+        modelPops = eqPops.atomicPops[a.model.element]
+        save(pre + 'n0', st['n'])
+        save(pre + 'nstar', st['nStar'])
+        save(pre + 'ntotal', modelPops.nTotal)
+        save(pre + 'vbroad', a.model.vBroad(atmos))
+        save(pre + 'stages', [l.stage for l in a.model.levels])
+        save(pre + 'C', ctx.C[ia])
+        lines.append(f'atom {a.Nlevel} {len(a.trans)}')
+        for it, t in enumerate(a.trans):
+            tpre = pre + f'trans{it}_'
+            save(tpre + 'wavelength', t.wavelength)
+            ident = (a.model.element, t.i, t.j)
+            active = spect.activeWavelengths[ident].astype(np.int8)
+            np.save(os.path.join(outdir, tpre + 'active.npy'),
+                    np.ascontiguousarray(active))
+            if t.isLine:
+                save(tpre + 'adamp', ctx.aDamp[ia][it])
+                typ = 'LINE'
+                lines.append(f'trans {typ} {t.i} {t.j} {t.Aji!r} {t.Bji!r} '
+                             f'{t.Bij!r} {t.lambda0!r} {t.Nblue} {t.Nred}')
+            else:
+                save(tpre + 'alpha', t.alpha)
+                typ = 'CONTINUUM'
+                lines.append(f'trans {typ} {t.i} {t.j} 0.0 0.0 0.0 '
+                             f'{t.lambda0!r} {t.Nblue} {t.Nred}')
+
+    with open(os.path.join(outdir, 'manifest.txt'), 'w') as f:
+        f.write('\n'.join(lines) + '\n')
+    print(f'exported to {outdir}: Nspect={spect.Nspect} '
+          f'atoms={[a.model.element.name for a in ctx.activeAtoms]}')
+
+
+if __name__ == '__main__':
+    outdir = sys.argv[1] if len(sys.argv) > 1 else 'scripts/refgold/inputs'
+    config = sys.argv[2] if len(sys.argv) > 2 else 'falc_h6ca'
+    ctx = build_ctx(config)
+    export(ctx, outdir)

@@ -19,16 +19,16 @@ def test_wofz_vs_scipy():
     z = v + 1j * a
     expected = scipy_wofz(z)
     got = np.asarray(wofz(jnp.asarray(z)))
-    # Humlicek w4: ~1e-4 relative accuracy on the real part
-    np.testing.assert_allclose(got.real, expected.real, rtol=5e-4, atol=1e-10)
-    np.testing.assert_allclose(got.imag, expected.imag, rtol=5e-4, atol=1e-10)
+    # Weideman N=48: <1e-9 relative accuracy over the physical range
+    np.testing.assert_allclose(got.real, expected.real, rtol=1e-8, atol=1e-30)
+    np.testing.assert_allclose(got.imag, expected.imag, rtol=1e-8, atol=1e-30)
 
 
 def test_voigt_H_matches_wofz_real():
     a, v = _grid()
     H = np.asarray(voigt_H(jnp.asarray(a), jnp.asarray(v)))
     expected = scipy_wofz(v + 1j * a).real
-    np.testing.assert_allclose(H, expected, rtol=5e-4, atol=1e-10)
+    np.testing.assert_allclose(H, expected, rtol=1e-8, atol=1e-30)
 
 
 def test_voigt_H_negative_v_symmetry():

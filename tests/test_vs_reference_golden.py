@@ -1,0 +1,166 @@
+"""Golden validation against the ACTUAL reference implementation.
+
+The artifacts in tests/golden/ were produced by compiling the unmodified
+reference C++ core (/root/reference/Source, built scalar-only with no
+Cython dependency) and driving it with scripts/refgold/driver.cpp on inputs
+exported from THIS package (scripts/refgold/export_inputs.py), so both sides
+consume byte-identical atmospheres, collision matrices, damping parameters,
+backgrounds, and initial populations. Any difference isolates the RT core:
+profile evaluation (Faddeeva), uv, the formal solver, Gamma accumulation
+(SimdFullIterationTemplates.hpp:240-508), and stat_eq
+(UpdatePopulations.cpp:7-47).
+
+Regenerate with:
+    python scripts/refgold/export_inputs.py scripts/refgold/inputs
+    make -C scripts/refgold && scripts/refgold/build/refgold_driver \
+        scripts/refgold/inputs scripts/refgold/outputs
+    (then re-pack tests/golden/*.npz; see scripts/refgold/README.md)
+
+The input-reproducibility test below asserts the frozen inputs still match
+what the current code derives, so golden staleness fails loudly.
+
+With the Weideman Voigt (ops/faddeeva.py, <1e-9 in H over the physical
+damping range) both sides agree to ~1e-10 in phi, Gamma, converged
+populations, J and emergent I; tolerances below leave margin for
+platform-dependent rounding.
+"""
+import os
+
+import numpy as np
+import pytest
+
+from lightweaver_tpu.atomic_set import RadiativeSet
+from lightweaver_tpu.context import Context
+from lightweaver_tpu.fal import Falc82
+from lightweaver_tpu.iterate_ctx import iterate_ctx_se
+from lightweaver_tpu.rh_atoms import CaII_atom, H_6_atom
+
+GOLDEN = os.path.join(os.path.dirname(__file__), 'golden')
+
+
+@pytest.fixture(scope='module')
+def golden():
+    ref = np.load(os.path.join(GOLDEN, 'falc_h6ca_ref.npz'))
+    inputs = np.load(os.path.join(GOLDEN, 'falc_h6ca_inputs.npz'))
+    return inputs, ref
+
+
+@pytest.fixture(scope='module')
+def ctx():
+    atmos = Falc82()
+    atmos.quadrature(5)
+    rs = RadiativeSet([H_6_atom(), CaII_atom()])
+    rs.set_active('H', 'Ca')
+    spect = rs.compute_wavelength_grid()
+    eqPops = rs.compute_eq_pops(atmos)
+    return Context(atmos, spect, eqPops, formalSolver='piecewise_bezier3_1d')
+
+
+def relerr(ours, ref, floorRel=0.0):
+    ours = np.asarray(ours)
+    ref = np.asarray(ref)
+    floor = np.abs(ref).max() * max(floorRel, 1e-300)
+    return (np.abs(ours - ref) / np.maximum(np.abs(ref), floor)).max()
+
+
+# ---------------------------------------------------------------------------
+def test_inputs_reproducible(ctx, golden):
+    """The frozen exported inputs still match what the code derives today.
+
+    If this fails, the model layer changed; re-run the golden pipeline."""
+    inputs, _ = golden
+    np.testing.assert_allclose(np.asarray(ctx.spect.wavelength),
+                               inputs['wavelength'], rtol=1e-12)
+    np.testing.assert_allclose(ctx.atmos.temperature, inputs['temperature'],
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(ctx.bgChi), inputs['bg_chi'],
+                               rtol=1e-10)
+    for ia in range(2):
+        np.testing.assert_allclose(np.asarray(ctx.C[ia]),
+                                   inputs[f'atom{ia}_C'], rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(ctx.popsState[ia]['n']),
+                                   inputs[f'atom{ia}_n0'], rtol=1e-10)
+        for it, t in enumerate(ctx.activeAtoms[ia].trans):
+            if t.isLine:
+                np.testing.assert_allclose(
+                    np.asarray(ctx.aDamp[ia][it]),
+                    inputs[f'atom{ia}_trans{it}_adamp'], rtol=1e-10)
+
+
+def test_phi_wphi_vs_reference(ctx, golden):
+    _, ref = golden
+    for ia, a in enumerate(ctx.activeAtoms):
+        for it, t in enumerate(a.trans):
+            if not t.isLine:
+                continue
+            tag = f'a{ia}t{it}'
+            assert relerr(ctx.phi[ia][it], ref[f'out_phi_{tag}']) < 1e-8, tag
+            assert relerr(ctx.wphi[ia][it], ref[f'out_wphi_{tag}']) < 1e-11, tag
+
+
+def test_basic_background_vs_reference(ctx, golden):
+    """Reference C++ basic_background (H- bf/ff, H ff, Thomson;
+    Background.cpp:1264) vs our equivalent components."""
+    from lightweaver_tpu import constants as Const
+    from lightweaver_tpu.background import (h2plus_ff, hminus_bf, hminus_ff,
+                                            hydrogen_ff, thomson_scattering)
+    inputs, ref = golden
+    lam = inputs['wavelength']
+    T = inputs['temperature']
+    ne = inputs['ne']
+    hPops = inputs['bgin_hpops']
+    nHMinus = inputs['bgin_hminus']
+    nH0 = hPops[0]
+    nProton = hPops[-1]
+
+    Bnu = (2.0 * Const.HC / (Const.NM_TO_M * lam[:, None]) ** 3
+           / np.expm1(np.minimum(Const.HC_K / lam[:, None] / T[None, :],
+                                 500.0)))
+    chi, eta = hminus_bf(lam[:, None], T[None, :], nHMinus[None, :])
+    c = hminus_ff(lam, T, ne, nH0)
+    chi = chi + c
+    eta = eta + c * Bnu
+    c = hydrogen_ff(lam[:, None], T[None, :], ne[None, :], nProton[None, :])
+    chi = chi + c
+    eta = eta + c * Bnu
+    c = h2plus_ff(lam, T, nH0, nProton)
+    chi = chi + c
+    eta = eta + c * Bnu
+    sca = np.broadcast_to(thomson_scattering(ne)[None, :], chi.shape)
+
+    assert relerr(chi, ref['out_bb_chi'], floorRel=1e-10) < 1e-6
+    assert relerr(eta, ref['out_bb_eta'], floorRel=1e-10) < 1e-6
+    assert relerr(sca, ref['out_bb_sca']) < 1e-10
+
+
+def test_one_iteration_vs_reference(ctx, golden):
+    """J, I and preconditioned Gamma after the first formal solution."""
+    _, ref = golden
+    ctx.formal_sol_gamma_matrices()
+    assert relerr(ctx.J, ref['out_J_iter1']) < 1e-8
+    assert relerr(ctx.I, ref['out_I_iter1']) < 1e-8
+    for ia in range(2):
+        G = np.asarray(ctx._Gamma[ia])
+        GRef = ref[f'out_Gamma_iter1_a{ia}']
+        assert relerr(G, GRef, floorRel=1e-10) < 1e-8, f'atom{ia}'
+
+
+def test_converged_vs_reference(golden):
+    """Full MALI convergence: populations, J, I, and iteration count must
+    match the compiled reference run (no Ng, JTol 5e-3, popsTol 1e-3)."""
+    _, ref = golden
+    atmos = Falc82()
+    atmos.quadrature(5)
+    rs = RadiativeSet([H_6_atom(), CaII_atom()])
+    rs.set_active('H', 'Ca')
+    spect = rs.compute_wavelength_grid()
+    eqPops = rs.compute_eq_pops(atmos)
+    c = Context(atmos, spect, eqPops, formalSolver='piecewise_bezier3_1d')
+    nIter = iterate_ctx_se(c, NmaxIter=500, quiet=True)
+
+    nIterRef = int(ref['out_niter'][0])
+    assert abs(nIter - nIterRef) <= 2
+    for ia in range(2):
+        assert relerr(c.popsState[ia]['n'], ref[f'out_pops_a{ia}']) < 1e-7
+    assert relerr(c.J, ref['out_J']) < 1e-7
+    assert relerr(c.I, ref['out_I']) < 1e-7
