@@ -145,6 +145,53 @@ class IterConfig:
     vlosMu: Optional[np.ndarray] = None          # [Nmu, Nk]
 
 
+def _window_add(tot, start: int, val):
+    """``tot[start:start+W] += val`` for a static wavelength window.
+
+    Expressed as dynamic_slice + add + dynamic_update_slice rather than
+    ``x.at[sl].add``: same speed on TPU, but DUS requires matching
+    dtypes, turning any accidental f32/f64 mix in the hot path into a
+    trace-time error instead of a silent promotion of the big
+    [W, Nmu, 2, Nk] tensors to TPU-emulated f64 (the round-1 perf bug).
+    ``val`` may carry size-1 axes (continuum [W, 1, 1, Nk]
+    contributions) — the add broadcasts, so no materialised
+    broadcast_to is needed.
+    """
+    W = val.shape[0]
+    s = (start,) + (0,) * (tot.ndim - 1)
+    cur = jax.lax.dynamic_slice(tot, s, (W,) + tot.shape[1:])
+    return jax.lax.dynamic_update_slice(tot, cur + val, s)
+
+
+def _slab_add(tot, start: tuple, sizes: tuple, val):
+    """General static-slab accumulate (same scatter-avoidance as
+    :func:`_window_add` but with an explicit start/extent per axis, for
+    updates along interior axes, e.g. one Stokes component plane).
+    ``val`` must broadcast against the ``sizes`` region."""
+    cur = jax.lax.dynamic_slice(tot, start, sizes)
+    return jax.lax.dynamic_update_slice(tot, cur + val, start)
+
+
+def _sum_mu(x, wmu):
+    """Angular moment: contract [..., Nmu, 2, Nk] against wmu [Nmu] over
+    the (mu, up/down) axes -> [..., Nk].
+
+    Written as broadcast-multiply + sum rather than einsum: on the TPU
+    backend, dot_general forms of these small windowed contractions
+    lower to serialized while loops (~0.1 ms each, hundreds per
+    iteration); the multiply+reduce form fuses into one VPU kernel.
+    """
+    return jnp.sum(x * wmu[:, None, None], axis=(-3, -2))
+
+
+def _sum_lmd(x, wla, wmu):
+    """Full transition integral: contract x [W, Nmu, 2, Nk] against
+    wla [W, Nk] and wmu [Nmu] over (lambda, mu, up/down) -> [Nk].
+    Same multiply+reduce rationale as :func:`_sum_mu`."""
+    return jnp.sum(x * wla[:, None, None, :] * wmu[None, :, None, None],
+                   axis=(0, 1, 2))
+
+
 def _uv(cfg: IterConfig, params, ai: int, ti: int, t: TransStatic):
     """Uji, Vij, Vji for one transition over its window.
     Lines: [W, Nmu, 2, Nk]; continua: [W, 1, 1, Nk].
@@ -159,6 +206,7 @@ def _uv(cfg: IterConfig, params, ai: int, ti: int, t: TransStatic):
         if t.isPrd and params.get('rhoPrd') is not None:
             rho = params['rhoPrd'][ai][ti]
             if rho is not None:
+                rho = rho.astype(dt)
                 if cfg.hprd and cfg.hprdCoeffs is not None \
                         and (ai, ti) in cfg.hprdCoeffs:
                     # comoving-frame rho: linear interpolation at the
@@ -237,11 +285,8 @@ def build_iteration_fn(cfg: IterConfig):
                 Uji, Vij, Vji = _uv(cfg, params, ai, ti, t)
                 chi_t = n[t.i] * Vij - n[t.j] * Vji
                 eta_t = n[t.j] * Uji
-                sl = slice(t.Nblue, t.Nred)
-                chiTot = chiTot.at[sl].add(
-                    jnp.broadcast_to(chi_t, (t.W, Nmu, 2, Nk)))
-                etaTot = etaTot.at[sl].add(
-                    jnp.broadcast_to(eta_t, (t.W, Nmu, 2, Nk)))
+                chiTot = _window_add(chiTot, t.Nblue, chi_t)
+                etaTot = _window_add(etaTot, t.Nblue, eta_t)
                 chiA.append(chi_t)
                 etaA.append(eta_t)
                 UjiA.append(Uji)
@@ -353,16 +398,27 @@ def build_iteration_fn(cfg: IterConfig):
             if sls is None:
                 continue
             dstSl, srcSl = sls
-            contrib = jnp.broadcast_to(
-                arrs[t2i][srcSl], (srcSl.stop - srcSl.start, Nmu, 2, Nk))
-            out = out.at[dstSl].add(sign * contrib)
+            out = _window_add(out, dstSl.start, sign * arrs[t2i][srcSl])
         return out
 
     def iteration(params, lambdaIterate=False, storeDepthData=False):
         params = dict(params)
-        params['allPops'] = list(params['pops']) + list(params['detPops'])
-        allNStar = list(params['nStar']) + list(params['detNStar'])
+        # Normalise every input consumed by the ray-tensor math to the
+        # working dtype.  Host state (pops, background, thermodynamics)
+        # is kept in f64; without these casts the f32 program silently
+        # promotes its big [W, Nmu, 2, Nk] elementwise tensors to
+        # EMULATED f64 on TPU (J alone stays in accumDtype by design).
+        cast = lambda x: x.astype(dt) if hasattr(x, 'astype') else x
+        params['allPops'] = [cast(n) for n in
+                             (list(params['pops']) + list(params['detPops']))]
+        allNStar = [cast(x) for x in
+                    (list(params['nStar']) + list(params['detNStar']))]
         params['nStar'] = allNStar
+        for key in ('bgChi', 'bgEta', 'bgSca', 'temperature', 'height'):
+            params[key] = cast(params[key])
+        for key in ('phi', 'wphi'):
+            params[key] = [[cast(x) if x is not None else None for x in pa]
+                           for pa in params[key]]
         # J is carried in accumDtype (dJ at 5e-3 tolerance needs ~1e-4
         # relative precision in J, below the f32 noise floor of the
         # wmu-reduction); the formal solve consumes it at working dtype.
@@ -383,8 +439,8 @@ def build_iteration_fn(cfg: IterConfig):
             Psi = jnp.zeros_like(Psi)
             IeffBase = I
 
-        Jnew = jnp.einsum('lmdk,m->lk', I.astype(cfg.accumDtype),
-                          0.5 * wmu.astype(cfg.accumDtype))
+        Jnew = _sum_mu(I.astype(cfg.accumDtype),
+                       0.5 * wmu.astype(cfg.accumDtype))
         dJ = jnp.max(jnp.abs(1.0 - jnp.where(Jnew != 0.0, Jdag / Jnew, 1.0)))
 
         JRest = None
@@ -406,7 +462,8 @@ def build_iteration_fn(cfg: IterConfig):
                                    in_axes=(0, 1)), in_axes=(0, 1))
             # fac [Nmu,2,Nk]; I [Nlam,Nmu,2,Nk] -> IRest [Nmu,2,Nk,Nprd]
             IRest = f3(fac, I)
-            JRest = jnp.einsum('mdkp,m->pk', IRest, 0.5 * wmu)
+            JRest = jnp.sum(IRest * (0.5 * wmu)[:, None, None, None],
+                            axis=(0, 1)).T
 
         adt = cfg.accumDtype if cfg.accumDtype is not None else dt
         wmu2 = (0.5 * wmu).astype(adt)
@@ -417,10 +474,9 @@ def build_iteration_fn(cfg: IterConfig):
             # contractions: avoids broadcasting [W,1,1,Nk] continuum
             # quantities onto the full ray tensor (the dominant HBM
             # traffic of the dense path)
-            PsiBar = jnp.einsum('lmdk,m->lk', Psi.astype(adt), wmu2)
-            IBar = jnp.einsum('lmdk,m->lk', I.astype(adt), wmu2)
-            IeffBaseSrcBar = jnp.einsum(
-                'lmdk,m->lk',
+            PsiBar = _sum_mu(Psi.astype(adt), wmu2)
+            IBar = _sum_mu(I.astype(adt), wmu2)
+            IeffBaseSrcBar = _sum_mu(
                 (IeffBase + Psi * srcNum).astype(adt), wmu2)
 
         def eta_atom_on_window(ai, a, lo, hi):
@@ -430,9 +486,8 @@ def build_iteration_fn(cfg: IterConfig):
                 l2, h2 = max(lo, t2.Nblue), min(hi, t2.Nred)
                 if h2 <= l2:
                     continue
-                out = out.at[l2 - lo:h2 - lo].add(jnp.broadcast_to(
-                    etaT[ai][t2i][l2 - t2.Nblue:h2 - t2.Nblue],
-                    (h2 - l2, Nmu, 2, Nk)))
+                out = _window_add(
+                    out, l2 - lo, etaT[ai][t2i][l2 - t2.Nblue:h2 - t2.Nblue])
             return out
 
         GammaOut, RijOut, RjiOut = [], [], []
@@ -441,8 +496,7 @@ def build_iteration_fn(cfg: IterConfig):
             if not factored:
                 etaAtom = jnp.zeros((Nlam, Nmu, 2, Nk), dt)
                 for ti, t in enumerate(a.trans):
-                    etaAtom = etaAtom.at[t.Nblue:t.Nred].add(
-                        jnp.broadcast_to(etaT[ai][ti], (t.W, Nmu, 2, Nk)))
+                    etaAtom = _window_add(etaAtom, t.Nblue, etaT[ai][ti])
                 # compensated MALI effective intensity: algebraically
                 # equal to I - Psi*etaAtom, but assembled from
                 # non-cancelling terms so the optically-thick regime
@@ -457,13 +511,12 @@ def build_iteration_fn(cfg: IterConfig):
                 for ti, t in enumerate(a.trans):
                     sl = slice(t.Nblue, t.Nred)
                     if t.isLine:
-                        contrib = jnp.einsum(
-                            'lmdk,lmdk,m->lk', etaT[ai][ti].astype(adt),
-                            Psi[sl].astype(adt), wmu2)
+                        contrib = _sum_mu(etaT[ai][ti].astype(adt)
+                                          * Psi[sl].astype(adt), wmu2)
                     else:
                         contrib = (etaT[ai][ti][:, 0, 0, :].astype(adt)
                                    * PsiBar[sl])
-                    PsiEtaBar = PsiEtaBar.at[sl].add(contrib)
+                    PsiEtaBar = _window_add(PsiEtaBar, t.Nblue, contrib)
                 IeffBarA = IeffBaseSrcBar - PsiEtaBar
 
                 def cont_part_on(t, arrs, items, signed, lo, hi):
@@ -479,7 +532,8 @@ def build_iteration_fn(cfg: IterConfig):
                         h2 = min(hi, t2.Nred)
                         if h2 <= l2:
                             continue
-                        out = out.at[l2 - lo:h2 - lo].add(
+                        out = _window_add(
+                            out, l2 - lo,
                             sign * arrs[t2i][l2 - t2.Nblue:h2 - t2.Nblue,
                                              0, 0, :].astype(adt))
                     return out
@@ -490,8 +544,7 @@ def build_iteration_fn(cfg: IterConfig):
                     lo, hi = t.Nblue, t.Nred
                     XC = cont_part_on(t, chiT[ai], listX, True, lo, hi)
                     UC = cont_part_on(t, UjiT[ai], listU, False, lo, hi)
-                    total = jnp.einsum('lk,lk,lk->k', XC * UC, wlaA,
-                                       PsiBar[lo:hi])
+                    total = jnp.sum(XC * UC * wlaA * PsiBar[lo:hi], axis=0)
                     # line(chi) x continuum(U) and line x line terms
                     for item in listX:
                         t2i, sign = item
@@ -502,9 +555,8 @@ def build_iteration_fn(cfg: IterConfig):
                         if h2 <= l2:
                             continue
                         chiSub = chiT[ai][t2i][l2 - t2.Nblue:h2 - t2.Nblue]
-                        total = total + sign * jnp.einsum(
-                            'lmdk,lmdk,lk,m->k', chiSub.astype(adt),
-                            Psi[l2:h2].astype(adt),
+                        total = total + sign * _sum_lmd(
+                            chiSub.astype(adt) * Psi[l2:h2].astype(adt),
                             UC[l2 - lo:h2 - lo] * wlaA[l2 - lo:h2 - lo],
                             wmu2)
                         for t3i in listU:
@@ -515,13 +567,12 @@ def build_iteration_fn(cfg: IterConfig):
                             h3 = min(h2, t3.Nred)
                             if h3 <= l3:
                                 continue
-                            total = total + sign * jnp.einsum(
-                                'lmdk,lmdk,lmdk,lk,m->k',
+                            total = total + sign * _sum_lmd(
                                 chiT[ai][t2i][l3 - t2.Nblue:
-                                              h3 - t2.Nblue].astype(adt),
-                                UjiT[ai][t3i][l3 - t3.Nblue:
-                                              h3 - t3.Nblue].astype(adt),
-                                Psi[l3:h3].astype(adt),
+                                              h3 - t2.Nblue].astype(adt)
+                                * UjiT[ai][t3i][l3 - t3.Nblue:
+                                                h3 - t3.Nblue].astype(adt)
+                                * Psi[l3:h3].astype(adt),
                                 wlaA[l3 - lo:h3 - lo], wmu2)
                     # continuum(chi) x line(U) terms
                     for t3i in listU:
@@ -532,9 +583,8 @@ def build_iteration_fn(cfg: IterConfig):
                         if h3 <= l3:
                             continue
                         USub = UjiT[ai][t3i][l3 - t3.Nblue:h3 - t3.Nblue]
-                        total = total + jnp.einsum(
-                            'lmdk,lmdk,lk,m->k', USub.astype(adt),
-                            Psi[l3:h3].astype(adt),
+                        total = total + _sum_lmd(
+                            USub.astype(adt) * Psi[l3:h3].astype(adt),
                             XC[l3 - lo:h3 - lo] * wlaA[l3 - lo:h3 - lo],
                             wmu2)
                     return total
@@ -553,20 +603,19 @@ def build_iteration_fn(cfg: IterConfig):
                     VijC = Vij[:, 0, 0, :].astype(adt)
                     VjiC = Vji[:, 0, 0, :].astype(adt)
                     Ieff_b = IeffBarA[sl]
-                    Gij = (jnp.einsum('lk,lk->k',
-                                      UjiC * oneBar + VjiC * Ieff_b, wlaA)
+                    Gij = (jnp.sum((UjiC * oneBar + VjiC * Ieff_b) * wlaA,
+                                   axis=0)
                            - cross_bar(t, a.chiLists[t.i],
                                        a.ULists[t.j], wlaA))
-                    Gji = (jnp.einsum('lk,lk->k', VijC * Ieff_b, wlaA)
+                    Gji = (jnp.sum(VijC * Ieff_b * wlaA, axis=0)
                            - cross_bar(t, a.chiLists[t.j],
                                        a.ULists[t.i], wlaA))
                     Gamma = Gamma.at[t.i, t.j].add(Gij)
                     Gamma = Gamma.at[t.j, t.i].add(Gji)
                     IBar_w = IBar[sl]
-                    Rij.append(jnp.einsum('lk,lk->k', VijC * IBar_w, wlaA))
-                    Rji.append(jnp.einsum('lk,lk->k',
-                                          UjiC * oneBar + VjiC * IBar_w,
-                                          wlaA))
+                    Rij.append(jnp.sum(VijC * IBar_w * wlaA, axis=0))
+                    Rji.append(jnp.sum((UjiC * oneBar + VjiC * IBar_w)
+                                       * wlaA, axis=0))
                     continue
 
                 if factored:
@@ -589,15 +638,13 @@ def build_iteration_fn(cfg: IterConfig):
                             - Psi_w * chi_i * U_j).astype(adt)
                 integ_ji = ((Vij * Ieff_w)
                             - Psi_w * chi_j * U_i).astype(adt)
-                Gij = jnp.einsum('lmdk,lk,m->k', integ_ij, wlaA, wmu2)
-                Gji = jnp.einsum('lmdk,lk,m->k', integ_ji, wlaA, wmu2)
+                Gij = _sum_lmd(integ_ij, wlaA, wmu2)
+                Gji = _sum_lmd(integ_ji, wlaA, wmu2)
                 Gamma = Gamma.at[t.i, t.j].add(Gij)
                 Gamma = Gamma.at[t.j, t.i].add(Gji)
-                Rij.append(jnp.einsum('lmdk,lk,m->k',
-                                      (I_w * Vij).astype(adt), wlaA, wmu2))
-                Rji.append(jnp.einsum('lmdk,lk,m->k',
-                                      (Uji + I_w * Vji).astype(adt), wlaA,
-                                      wmu2))
+                Rij.append(_sum_lmd((I_w * Vij).astype(adt), wlaA, wmu2))
+                Rji.append(_sum_lmd((Uji + I_w * Vji).astype(adt), wlaA,
+                                    wmu2))
 
             # finalise: diagonal = -column sums of off-diagonals
             eye = jnp.eye(a.Nlevel, dtype=adt)[:, :, None]
@@ -624,6 +671,9 @@ def build_iteration_fn(cfg: IterConfig):
             out['depthI'] = I
         return out
 
+    # expose the stage closures for component-level benchmarking/tests
+    iteration.gather = gather
+    iteration.formal_solve = formal_solve
     return iteration
 
 
@@ -1301,7 +1351,8 @@ class Context:
 
         chi7 = jnp.zeros((Nlam, Nmu, 7, Nk), dt)
         eta4 = jnp.zeros((Nlam, Nmu, 4, Nk), dt)
-        chi7 = chi7.at[:, :, 0, :].add(self.bgChi[:, None, :])
+        chi7 = _slab_add(chi7, (0, 0, 0, 0), (Nlam, Nmu, 1, Nk),
+                         self.bgChi[:, None, None, :])
 
         allAtoms = cfg.activeAtoms + cfg.detailedAtoms
         for ai, a in enumerate(allAtoms):
@@ -1333,23 +1384,28 @@ class Context:
                     for name, ci in comps:
                         Uji, Vij, Vji = uv_pol(p7[name][:, :, d, :])
                         chi_c = n[t.i] * Vij - n[t.j] * Vji
-                        chi7 = chi7.at[sl, :, ci, :].add(chi_c)
+                        chi7 = _slab_add(chi7, (t.Nblue, 0, ci, 0),
+                                         (t.W, Nmu, 1, Nk),
+                                         chi_c[:, :, None, :])
                         if ci < 4:
-                            eta4 = eta4.at[sl, :, ci, :].add(n[t.j] * Uji)
+                            eta4 = _slab_add(eta4, (t.Nblue, 0, ci, 0),
+                                             (t.W, Nmu, 1, Nk),
+                                             (n[t.j] * Uji)[:, :, None, :])
                 else:
                     Uji, Vij, Vji = _uv(cfg, params, ai, ti, t)
                     chi_c = (n[t.i] * Vij - n[t.j] * Vji)[:, :, d, :]
                     eta_c = (n[t.j] * Uji)[:, :, d, :]
-                    chi7 = chi7.at[sl, :, 0, :].add(
-                        jnp.broadcast_to(chi_c, (t.W, Nmu, Nk)))
-                    eta4 = eta4.at[sl, :, 0, :].add(
-                        jnp.broadcast_to(eta_c, (t.W, Nmu, Nk)))
+                    chi7 = _slab_add(chi7, (t.Nblue, 0, 0, 0),
+                                     (t.W, Nmu, 1, Nk), chi_c[:, :, None, :])
+                    eta4 = _slab_add(eta4, (t.Nblue, 0, 0, 0),
+                                     (t.W, Nmu, 1, Nk), eta_c[:, :, None, :])
 
         chiI = chi7[:, :, 0, :]
         S4 = eta4 / chiI[:, :, None, :]
-        S4 = S4.at[:, :, 0, :].add(
-            (self.bgEta
-             + self.bgSca * self.J.astype(dt))[:, None, :] / chiI)
+        S4 = _slab_add(S4, (0, 0, 0, 0), (Nlam, Nmu, 1, Nk),
+                       ((self.bgEta
+                         + self.bgSca * self.J.astype(dt))[:, None, :]
+                        / chiI)[:, :, None, :])
 
         # thermalised lower boundary for Stokes I; Q=U=V=0
         lamGrid = jnp.asarray(cfg.wavelength, dt)
@@ -1364,8 +1420,8 @@ class Context:
             I0 = BnuN[:, None] - (BnuN1[:, None] - BnuN[:, None]) / dtau
         else:
             I0 = jnp.zeros((Nlam, Nmu), dt)
-        Iupw = jnp.zeros((Nlam * Nmu, 4), dt)
-        Iupw = Iupw.at[:, 0].set(I0.reshape(-1))
+        Iupw = jnp.concatenate(
+            [I0.reshape(-1, 1), jnp.zeros((Nlam * Nmu, 3), dt)], axis=1)
 
         from .ops.stokes import delo_bezier_stokes
         muzB = jnp.broadcast_to(muz[None, :], (Nlam, Nmu)).reshape(-1)

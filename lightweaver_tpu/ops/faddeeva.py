@@ -34,8 +34,13 @@ def _weideman_coeffs(N):
     return L, np.flipud(a[1:N + 1])   # highest order first
 
 
-_WEIDEMAN_L, _WEIDEMAN_A = _weideman_coeffs(_N_WEIDEMAN)
-_ISQRTPI = 1.0 / np.sqrt(np.pi)
+# Stored as Python floats: numpy scalars are strongly typed in JAX and
+# would silently promote f32 inputs to (TPU-emulated) f64 under x64;
+# Python floats are weak-typed and follow the input dtype.
+_WEIDEMAN_L, _A_ARR = _weideman_coeffs(_N_WEIDEMAN)
+_WEIDEMAN_L = float(_WEIDEMAN_L)
+_WEIDEMAN_A = [float(c) for c in _A_ARR]
+_ISQRTPI = float(1.0 / np.sqrt(np.pi))
 
 
 def _cdiv(ar, ai, br, bi):
