@@ -54,6 +54,15 @@ class Stratifications:
     tauRef: np.ndarray
 
 
+def _falc_top_pressure(temp: float) -> float:
+    """FAL-C-calibrated top-of-atmosphere gas pressure [dyn/cm^2] as a
+    function of the top temperature, used when hydrostatic construction
+    has no Ptop/PeTop (ref: atmosphere.py:127-166 get_top_pressure)."""
+    d = np.load(Path(__file__).resolve().parent / 'data'
+                / 'wittmann_tables.npz')
+    return float(np.interp(temp, d['topTempCoord'], d['topPgasCgs']))
+
+
 @dataclass
 class Atmosphere:
     """1D plane-parallel (or flattened 2D) atmosphere.
@@ -126,16 +135,24 @@ class Atmosphere:
                 chiB: Optional[np.ndarray] = None,
                 lowerBc: Optional[BoundaryCondition] = None,
                 upperBc: Optional[BoundaryCondition] = None,
+                Pgas: Optional[np.ndarray] = None,
+                Pe: Optional[np.ndarray] = None,
+                Ptop: Optional[float] = None,
+                PeTop: Optional[float] = None,
+                logG: float = 2.44,
                 abundance=None,
+                convertScales: bool = True,
                 verbose: bool = False) -> 'Atmosphere':
         """Build a 1D atmosphere on a Geometric / ColumnMass / Tau500
         depth scale.  When ne (and/or nHTot) are omitted they are
-        reconstructed hydrostatically with the Saha EOS.
+        reconstructed with the Wittmann EOS: directly from Pgas/Pe when
+        given, otherwise by hydrostatic equilibrium (NICOLE's method)
+        from Ptop/PeTop (or a FAL-C-calibrated top pressure).
 
         ref: /root/reference/lightweaver/atmosphere.py:749-1160
         """
         from . import constants as Const
-        from .atomic_table import DefaultAtomicAbundance
+        from .atomic_table import DefaultAtomicAbundance, PeriodicTable
         if abundance is None:
             abundance = DefaultAtomicAbundance
 
@@ -143,64 +160,123 @@ class Atmosphere:
         temperature = np.asarray(temperature, dtype=np.float64)
         vlos = np.asarray(vlos, dtype=np.float64)
         vturb = np.asarray(vturb, dtype=np.float64)
+        Nspace = depthScale.shape[0]
+
+        if np.any(temperature < 2000.0):
+            raise ValueError('Minimum temperature too low for EOS (< 2000 K)')
 
         if nHTot is None and hydrogenPops is not None:
             nHTot = np.sum(hydrogenPops, axis=0)
-        if ne is None or nHTot is None:
-            # hydrostatic reconstruction via the Saha EOS
-            # (ref: /root/reference/lightweaver/atmosphere.py:748-1160,
-            #  which uses the Wittmann EOS)
-            from .eos import SahaEos
-            eos = SahaEos(abundance=abundance)
-            g = Const.GSurface
-            Nspace = depthScale.shape[0]
-            if scale == ScaleType.ColumnMass:
-                pgas = g * np.maximum(depthScale, 1e-6)
-                out = eos.solve(temperature, pgas)
-            elif scale == ScaleType.Geometric:
-                pgas = np.empty(Nspace)
-                pgas[0] = g * 6e-5            # ~ solar top column mass
-                out0 = eos.solve(temperature[:1], pgas[:1])
-                rhoPrev = out0['rho'][0]
+
+        from .wittmann_eos import BK as BKcgs
+        from .wittmann_eos import WittmannEos
+        wittAb = np.array([abundance[e] for e in PeriodicTable.elements])
+        eos = WittmannEos(abundance=wittAb)
+        # SI <-> CGS for the EOS (pressures dyn/cm^2, densities g/cm^3)
+        M3_TO_CM3 = 1.0 / Const.CM_TO_M ** 3
+        P_SI_TO_CGS = Const.CM_TO_M ** 2 / Const.G_TO_KG
+
+        rhoCgs = None
+        if nHTot is None and ne is not None:
+            # mass density from the electron pressure
+            pe = np.asarray(ne, np.float64) / M3_TO_CM3 * BKcgs * temperature
+            rhoCgs = eos.rho_from_pe(temperature, pe)
+            nHTot = rhoCgs * M3_TO_CM3 * Const.G_TO_KG / (
+                Const.Amu * abundance.massPerH)
+        elif ne is None and nHTot is not None:
+            rhoCgs = (Const.Amu * abundance.massPerH
+                      * np.asarray(nHTot, np.float64)
+                      / M3_TO_CM3 / Const.G_TO_KG)
+            pe = eos.pe_from_rho(temperature, rhoCgs)
+            ne = pe / (BKcgs * temperature) * M3_TO_CM3
+        elif ne is None and nHTot is None:
+            if Pgas is not None and Pe is None:
+                pgas = np.asarray(Pgas, np.float64) * P_SI_TO_CGS
+                pe = eos.pe_from_pg(temperature, pgas)
+                rhoCgs = eos.rho_from_pg(temperature, pgas)
+            elif Pe is not None and Pgas is None:
+                pe = np.asarray(Pe, np.float64) * P_SI_TO_CGS
+                pgas = eos.pg_from_pe(temperature, pe)
+                rhoCgs = eos.rho_from_pe(temperature, pe)
+            elif Pgas is None and Pe is None:
+                # hydrostatic equilibrium, NICOLE's method (top pressure
+                # + midpoint integration with EOS-consistent opacity)
+                gravAcc = 10 ** logG / Const.CM_TO_M
+                Avog = 6.022045e23
+                if Ptop is not None and PeTop is not None:
+                    raise ValueError('Cannot set both Ptop and PeTop')
+                if PeTop is not None:
+                    PeTopC = PeTop * P_SI_TO_CGS
+                    PtopC = float(eos.pg_from_pe(temperature[:1],
+                                                 PeTopC)[0])
+                elif Ptop is not None:
+                    PtopC = Ptop * P_SI_TO_CGS
+                    PeTopC = float(eos.pe_from_pg(temperature[:1],
+                                                  PtopC)[0])
+                else:
+                    PtopC = _falc_top_pressure(temperature[0])
+                    PeTopC = float(eos.pe_from_pg(temperature[:1],
+                                                  PtopC)[0])
+
+                if scale == ScaleType.Tau500:
+                    tau = depthScale
+                elif scale == ScaleType.Geometric:
+                    heightCgs = depthScale / Const.CM_TO_M
+                else:
+                    cmassCgs = (depthScale / Const.G_TO_KG
+                                * Const.CM_TO_M ** 2)
+
+                rhoCgs = np.zeros(Nspace)
+                chi_c = np.zeros(Nspace)
+                pgas = np.zeros(Nspace)
+                pe = np.zeros(Nspace)
+                pgas[0] = PtopC
+                pe[0] = PeTopC
+                chi_c[0] = float(eos.cont_opacity(
+                    temperature[:1], pgas[:1], pe[:1], [5000.0])[0, 0])
+                avg_mol_weight = lambda k: abundance.massPerH / (
+                    abundance.totalAbundance + pe[k] / pgas[k])
+                rhoCgs[0] = (PtopC * avg_mol_weight(0) / Avog / BKcgs
+                             / temperature[0])
+                chi_c[0] /= rhoCgs[0]
                 for k in range(1, Nspace):
-                    dz = depthScale[k - 1] - depthScale[k]
-                    p = pgas[k - 1] + g * rhoPrev * dz
-                    for _ in range(3):        # implicit midpoint fixpoint
-                        ok = eos.solve(temperature[k:k + 1],
-                                       np.array([p]))
-                        p = (pgas[k - 1]
-                             + g * 0.5 * (rhoPrev + ok['rho'][0]) * dz)
-                    pgas[k] = p
-                    rhoPrev = ok['rho'][0]
-                out = eos.solve(temperature, pgas)
-            elif scale == ScaleType.Tau500:
-                tau = np.maximum(depthScale, 1e-9)
-                pgas = np.empty(Nspace)
-                p = g * 6e-5
-                for _ in range(5):            # top boundary: p ~ g tau/kappa
-                    o = eos.solve(temperature[:1], np.array([p]))
-                    kap = (eos.chi_500(temperature[:1], o['ne'],
-                                       o['nHTot']) / o['rho'])[0]
-                    p = max(g * tau[0] / kap, g * 6e-5)
-                pgas[0] = p
-                oPrev = eos.solve(temperature[:1], pgas[:1])
-                kapPrev = (eos.chi_500(temperature[:1], oPrev['ne'],
-                                       oPrev['nHTot']) / oPrev['rho'])[0]
-                for k in range(1, Nspace):
-                    dtau = tau[k] - tau[k - 1]
-                    p = pgas[k - 1] + g * dtau / kapPrev
-                    for _ in range(3):
-                        ok = eos.solve(temperature[k:k + 1], np.array([p]))
-                        kap = (eos.chi_500(temperature[k:k + 1], ok['ne'],
-                                           ok['nHTot']) / ok['rho'])[0]
-                        p = pgas[k - 1] + g * dtau * 2.0 / (kapPrev + kap)
-                    pgas[k] = p
-                    kapPrev = kap
-                out = eos.solve(temperature, pgas)
-            else:
-                raise ValueError(f'Unknown scale {scale}')
-            ne = out['ne'] if ne is None else np.asarray(ne, np.float64)
-            nHTot = out['nHTot']
+                    chi_c[k] = chi_c[k - 1]
+                    rhoCgs[k] = rhoCgs[k - 1]
+                    for it in range(200):
+                        if scale == ScaleType.Tau500:
+                            dtau = tau[k] - tau[k - 1]
+                            pgas[k] = (pgas[k - 1] + gravAcc * dtau
+                                       / (0.5 * (chi_c[k - 1] + chi_c[k])))
+                        elif scale == ScaleType.Geometric:
+                            pgas[k] = pgas[k - 1] * np.exp(
+                                -gravAcc / Avog / BKcgs
+                                * avg_mol_weight(k - 1)
+                                * 0.5 * (1.0 / temperature[k - 1]
+                                         + 1.0 / temperature[k])
+                                * (heightCgs[k] - heightCgs[k - 1]))
+                        else:
+                            pgas[k] = gravAcc * cmassCgs[k]
+                        pe[k] = float(eos.pe_from_pg(temperature[k:k + 1],
+                                                     pgas[k])[0])
+                        prevChi = chi_c[k]
+                        chi_c[k] = float(eos.cont_opacity(
+                            temperature[k:k + 1], pgas[k:k + 1],
+                            pe[k:k + 1], [5000.0])[0, 0])
+                        rhoCgs[k] = (pgas[k] * avg_mol_weight(k) / Avog
+                                     / BKcgs / temperature[k])
+                        chi_c[k] /= rhoCgs[k]
+                        change = (np.abs(prevChi - chi_c[k])
+                                  / (prevChi + chi_c[k]))
+                        if change < 1e-5:
+                            break
+                    else:
+                        from .utils import ConvergenceError
+                        raise ConvergenceError(
+                            'No convergence in HSE at depth point '
+                            f'{k}, last change {change:2.4e}')
+            nHTot = rhoCgs * M3_TO_CM3 * Const.G_TO_KG / (
+                Const.Amu * abundance.massPerH)
+            ne = pe / (BKcgs * temperature) * M3_TO_CM3
         ne = np.asarray(ne, dtype=np.float64)
         nHTot = np.asarray(nHTot, dtype=np.float64)
 
@@ -211,49 +287,67 @@ class Atmosphere:
         if isinstance(lowerBc, PeriodicRadiation) or isinstance(upperBc, PeriodicRadiation):
             raise ValueError('Cannot use periodic BCs on the z axis of a 1D atmosphere')
 
-        from . import constants as Const
-        rho = Const.Amu * abundance.massPerH * nHTot
-        Nspace = depthScale.shape[0]
+        rhoSI = Const.Amu * abundance.massPerH * nHTot
+        if convertScales:
+            # final EOS-consistent pressures + 500 nm continuum opacity
+            # for the scale conversions
+            rhoCgs = (rhoSI / M3_TO_CM3 / Const.G_TO_KG)
+            pgas = eos.pg_from_rho(temperature, rhoCgs)
+            pe = eos.pe_from_rho(temperature, rhoCgs)
+            chi_c = (eos.cont_opacity(temperature, pgas, pe,
+                                      [5000.0])[:, 0] / Const.CM_TO_M)
 
-        if scale == ScaleType.Geometric:
-            height = depthScale
-            cmass = np.zeros(Nspace)
-            cmass[0] = ((nHTot[0] * abundance.massPerH + ne[0])
-                        * (Const.KBoltzmann * temperature[0] / 10 ** 2.44))
-            for k in range(1, Nspace):
-                cmass[k] = cmass[k - 1] + 0.5 * ((rho[k - 1] + rho[k])
-                                                 * (height[k - 1] - height[k]))
-        elif scale == ScaleType.ColumnMass:
-            cmass = depthScale
-            height = np.zeros(Nspace)
-            for k in range(1, Nspace):
-                height[k] = height[k - 1] - 2.0 * ((cmass[k] - cmass[k - 1])
-                                                   / (rho[k - 1] + rho[k]))
-            # Zero-point of height is arbitrary for the transfer problem;
-            # anchored roughly mid-atmosphere rather than at tau500 = 1
-            # (which would require the background EOS).
-            height -= height[Nspace // 2]
-        elif scale == ScaleType.Tau500:
-            # height from dtau = chi500 dh with chi500 from the Saha EOS
-            from .eos import SahaEos
-            eos2 = SahaEos(abundance=abundance)
-            tau = np.maximum(np.asarray(depthScale, np.float64), 1e-9)
-            chi500 = eos2.chi_500(temperature, ne, nHTot)
-            height = np.zeros(Nspace)
-            for k in range(1, Nspace):
-                height[k] = height[k - 1] - 2.0 * (tau[k] - tau[k - 1]) \
-                    / (chi500[k - 1] + chi500[k])
-            iTau1 = int(np.argmin(np.abs(tau - 1.0)))
-            height -= height[iTau1]
-            cmass = np.zeros(Nspace)
-            cmass[0] = tau[0] / chi500[0] * rho[0]
-            for k in range(1, Nspace):
-                cmass[k] = cmass[k - 1] + 0.5 * ((rho[k - 1] + rho[k])
-                                                 * (height[k - 1] - height[k]))
+            if scale == ScaleType.ColumnMass:
+                cmass = depthScale
+                height = np.zeros(Nspace)
+                tau_ref = np.zeros(Nspace)
+                tau_ref[0] = chi_c[0] / rhoSI[0] * cmass[0]
+                for k in range(1, Nspace):
+                    height[k] = height[k - 1] - 2.0 * (
+                        (cmass[k] - cmass[k - 1]) / (rhoSI[k - 1] + rhoSI[k]))
+                    tau_ref[k] = tau_ref[k - 1] + 0.5 * (
+                        (chi_c[k - 1] + chi_c[k]) * (height[k - 1] - height[k]))
+                height -= np.interp(1.0, tau_ref, height)
+            elif scale == ScaleType.Geometric:
+                height = depthScale
+                cmass = np.zeros(Nspace)
+                tau_ref = np.zeros(Nspace)
+                cmass[0] = ((nHTot[0] * abundance.massPerH + ne[0])
+                            * (Const.KBoltzmann * temperature[0] / 10 ** logG))
+                tau_ref[0] = 0.5 * chi_c[0] * (height[0] - height[1])
+                if tau_ref[0] > 1.0:
+                    tau_ref[0] = 0.0
+                for k in range(1, Nspace):
+                    cmass[k] = cmass[k - 1] + 0.5 * ((rhoSI[k - 1] + rhoSI[k])
+                                                     * (height[k - 1] - height[k]))
+                    tau_ref[k] = tau_ref[k - 1] + 0.5 * (
+                        (chi_c[k - 1] + chi_c[k]) * (height[k - 1] - height[k]))
+            elif scale == ScaleType.Tau500:
+                tau_ref = depthScale
+                height = np.zeros(Nspace)
+                cmass = np.zeros(Nspace)
+                # (the reference integrates chi for cmass here —
+                # atmosphere.py:1132-1134 — which yields tau again; we
+                # integrate rho, the quantity cmass actually is)
+                cmass[0] = tau_ref[0] / chi_c[0] * rhoSI[0]
+                for k in range(1, Nspace):
+                    height[k] = height[k - 1] - 2.0 * (
+                        (tau_ref[k] - tau_ref[k - 1])
+                        / (chi_c[k - 1] + chi_c[k]))
+                    cmass[k] = cmass[k - 1] + 0.5 * (
+                        (rhoSI[k - 1] + rhoSI[k]) * (height[k - 1] - height[k]))
+                height -= np.interp(1.0, tau_ref, height)
+            else:
+                raise ValueError(f'Unknown scale {scale}')
+            strat = Stratifications(cmass=cmass, tauRef=tau_ref)
+            height = np.ascontiguousarray(height)
         else:
-            raise ValueError(f'Unknown scale {scale}')
-
-        strat = Stratifications(cmass=cmass, tauRef=np.zeros(Nspace))
+            if scale != ScaleType.Geometric:
+                raise ValueError(
+                    'Height scale must be provided if scale conversion '
+                    'is not applied')
+            strat = None
+            height = depthScale
         atmos = cls(height=height, temperature=temperature, vlos=vlos,
                     vturb=vturb, ne=np.copy(ne), nHTot=nHTot, B=B,
                     gammaB=gammaB, chiB=chiB, lowerBc=lowerBc,

@@ -68,6 +68,8 @@ def test_make_1d_tau500():
     pg = ((atmos.nHTot * SahaEos().totalAbund + atmos.ne)
           * Const.KBoltzmann * atmos.temperature)
     assert np.all(np.diff(pg) > 0)
-    # height anchored at tau500 = 1
-    iTau1 = int(np.argmin(np.abs(tau - 1.0)))
-    assert abs(atmos.height[iTau1]) < 1.0
+    # height anchored at the interpolated tau500 = 1 point (like the
+    # reference's hTau1 = np.interp(1.0, tau_ref, height) anchor)
+    assert abs(np.interp(1.0, atmos.tauRef, atmos.height)) < 1.0
+    # tauRef is the input scale
+    assert np.allclose(atmos.tauRef, tau)
