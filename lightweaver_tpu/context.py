@@ -1039,7 +1039,15 @@ class Context:
         accelerated = False
         for ai, st in enumerate(self.popsState):
             nNew = st['n']
-            accel, sol = self.ngs[ai].accelerate(np.asarray(nNew))
+            nHost = np.asarray(nNew)
+            if not np.all(np.isfinite(nHost)):
+                from .utils import ExplodingMatrixError
+                name = self.cfg.activeAtoms[ai].model.element.name
+                raise ExplodingMatrixError(
+                    f'Non-finite populations for atom {name} after the '
+                    'statistical-equilibrium solve (singular Gamma '
+                    'matrix)')
+            accel, sol = self.ngs[ai].accelerate(nHost)
             if accel:
                 nNew = jnp.asarray(sol.reshape(nNew.shape), self.dtype)
                 accelerated = True

@@ -33,7 +33,8 @@ def iterate_ctx_se(ctx, Nscatter: int = 3, NmaxIter: int = 2000,
                    popsTol: float = 1e-3, rhoTol: Optional[float] = None,
                    prdIterTol: float = 1e-2, maxPrdSubIter: int = 3,
                    printInterval: float = 0.2, quiet: bool = False,
-                   convergence=None, returnFinalConvergence: bool = False):
+                   convergence=None, returnFinalConvergence: bool = False,
+                   raiseOnUnconverged: bool = False):
     """MALI iteration loop: Nscatter pure Lambda iterations, then
     alternating formal solutions + statistical equilibrium until
     converged.
@@ -72,6 +73,10 @@ def iterate_ctx_se(ctx, Nscatter: int = 3, NmaxIter: int = 2000,
             finalUpdates = [JUpdate, popsUpdate]
             break
     else:
+        if raiseOnUnconverged:
+            from .utils import ConvergenceError
+            raise ConvergenceError(
+                f'Not converged after {NmaxIter} iterations')
         if not quiet:
             print(f'Not converged after {NmaxIter} iterations')
         if returnFinalConvergence:
