@@ -1,26 +1,44 @@
 """Benchmark: formal-solver grid-point throughput of the full MALI step.
 
-Mirrors the reference's autotune harness configuration
-(ref: /root/reference/lightweaver/benchmark.py:19-113): FAL-C
-interpolated to 500 depth points, H 6-level + Ca II active, 5-ray
-quadrature, 50 `formal_sol_gamma_matrices` iterations.
+Times the same problem the compiled reference is timed on
+(scripts/refgold, REFGOLD_BENCH_ITERS mode; see bench_baseline.json):
+FAL-C interpolated to 500 depth points, H 6-level + Ca II active, 5-ray
+quadrature, 50 `formal_sol_gamma_matrices` iterations.  Mirrors the
+reference's autotune harness configuration
+(ref: /root/reference/lightweaver/benchmark.py:19-113).
 
 Metric: formal-solver grid-point updates per second per chip, where one
 sweep touches Nlambda x Nmu x 2 directions x Nspace points
-(BASELINE.md's north-star denominator).  `vs_baseline` is the ratio of
-the accelerator throughput to the same jitted program run on this host's
-CPU (the reference publishes no absolute numbers to compare against).
+(BASELINE.md's north-star denominator).  `vs_baseline` is measured
+throughput over the compiled reference's on this machine's CPU
+(4 threads — its production configuration here).
+
+Also reports a bandwidth-roofline estimate: the minimum HBM traffic of
+one iteration (each ray-grid tensor the iteration must stream, assuming
+perfect fusion) over the device's HBM bandwidth, and the fraction of
+that bound achieved.
 
 Prints ONE json line.
 """
 import json
+import os
 import time
+from pathlib import Path
 
 import numpy as np
 
+# Known HBM bandwidths [GB/s] by TPU device kind substring
+_HBM_GBPS = {
+    'v5 lite': 819.0,   # v5e
+    'v5litepod': 819.0,
+    'v4': 1228.0,
+    'v5p': 2765.0,
+    'v6': 1640.0,       # v6e (Trillium)
+}
+
 
 def build_ctx(Nspace=500, Nrays=5, dtype=None):
-    import jax.numpy as jnp
+    import jax.numpy as jnp  # noqa: F401
 
     from lightweaver_tpu.atmosphere import Atmosphere
     from lightweaver_tpu.atomic_set import RadiativeSet
@@ -32,6 +50,7 @@ def build_ctx(Nspace=500, Nrays=5, dtype=None):
     # interpolate in log column mass like the reference benchmark
     cm = np.log10(full.cmass)
     cmNew = np.linspace(cm[0], cm[-1], Nspace)
+
     def interp(y, logY=False):
         if logY:
             return 10 ** np.interp(cmNew, cm, np.log10(y))
@@ -47,7 +66,10 @@ def build_ctx(Nspace=500, Nrays=5, dtype=None):
     rs.set_active('H', 'Ca')
     spect = rs.compute_wavelength_grid()
     eqPops = rs.compute_eq_pops(atmos)
-    ctx = Context(atmos, spect, eqPops, dtype=dtype)
+    # 'parallel' (associative-scan depth recurrence) measured ~5-10%
+    # faster than 'scan' on TPU v5e at this config for both f32 and f64
+    ctx = Context(atmos, spect, eqPops, dtype=dtype,
+                  recurrenceMode='parallel')
     return ctx
 
 
@@ -65,38 +87,83 @@ def time_iterations(ctx, nIter=50, warmup=2):
     return wall
 
 
+def min_hbm_bytes_per_iter(ctx):
+    """Lower bound on HBM traffic of one MALI iteration, assuming
+    perfect fusion: every full ray-grid tensor ([Nlam, Nmu, 2, Nk]) and
+    windowed per-transition tensor the iteration must materialise or
+    re-read, in the working dtype.
+
+    Streams counted (write + the later read each):
+      gather:   chiTot, etaTot (+ per-line chi/eta/Uji windows)
+      FS:       reads chiTot/etaTot-derived S; writes I, Psi
+      Gamma:    re-reads I, Psi and the per-line windows
+    Continuum windows are [W, Nk] (mu-independent) and counted as such.
+    """
+    cfg = ctx.cfg
+    itemsize = np.dtype(ctx.dtype).itemsize
+    ray = cfg.Nlam * cfg.Nmu * 2 * cfg.Nk
+    lineW = 0
+    contW = 0
+    for a in (cfg.activeAtoms + cfg.detailedAtoms):
+        for t in a.trans:
+            if t.isLine:
+                lineW += t.W
+            else:
+                contW += t.W
+    lineRay = lineW * cfg.Nmu * 2 * cfg.Nk
+    contCol = contW * cfg.Nk
+    # per-line windows: phi read; chi/eta/Uji/Vij/Vji written + read once
+    gather = 2 * ray + lineRay * (1 + 2 * 5) + contCol * (1 + 2 * 5)
+    fs = 2 * ray + 2 * 2 * ray          # read chi,S; write+read I, Psi
+    gamma = lineRay * 0                  # windows already counted above
+    return (gather + fs + gamma) * itemsize
+
+
 def main():
     import jax
-    import jax.numpy as jnp
 
     dev = jax.devices()[0]
     onTpu = dev.platform not in ('cpu',)
     # Bench the mixed-precision configuration (f32 state + f64
-    # Gamma/rate accumulation + compensated Ieff), which converges to
-    # the standard tolerances (tests/test_mixed_precision.py) and is the
-    # fast path the autotuner selects.  Set BENCH_F64=1 for the f64
-    # reference-precision run.
-    import os
+    # Gamma/rate accumulation + compensated Ieff): the fast
+    # synthesis-grade path (converges to dPops ~1e-2 on stiff deep-UV
+    # problems; full convergence uses f64 — set BENCH_F64=1).
+    import jax.numpy as jnp
     dtype = None if os.environ.get('BENCH_F64') else jnp.float32
 
     nIter = 50
     ctx = build_ctx(dtype=dtype)
     gridPointsPerSweep = (ctx.cfg.Nlam * ctx.cfg.Nmu * 2 * ctx.cfg.Nk)
     wall = time_iterations(ctx, nIter=nIter)
+    msPerIter = wall / nIter * 1e3
     throughput = gridPointsPerSweep * nIter / wall
 
-    # CPU anchor with the same program (fewer iterations; scaled)
-    cpu = jax.devices('cpu')[0]
-    with jax.default_device(cpu):
-        ctxCpu = build_ctx(dtype=dtype)
-        wallCpu = time_iterations(ctxCpu, nIter=5, warmup=1)
-    cpuThroughput = gridPointsPerSweep * 5 / wallCpu
+    # Roofline estimate
+    kind = getattr(dev, 'device_kind', '') or str(dev)
+    hbm = next((v for k, v in _HBM_GBPS.items() if k in kind.lower()),
+               819.0)
+    minBytes = min_hbm_bytes_per_iter(ctx)
+    rooflineMs = minBytes / (hbm * 1e9) * 1e3
+    pctRoofline = rooflineMs / msPerIter if onTpu else None
+
+    # Baseline anchor: the compiled reference on this machine's CPU
+    base = json.loads((Path(__file__).parent
+                       / 'bench_baseline.json').read_text())
+    refMs = base['reference_ms_per_iter_4threads']
+    vsBaseline = refMs / msPerIter
 
     print(json.dumps({
         'metric': 'mali_fs_gridpoint_updates_per_sec',
         'value': throughput,
         'unit': 'gridpoints/s',
-        'vs_baseline': throughput / cpuThroughput,
+        'vs_baseline': vsBaseline,
+        'baseline': 'compiled reference C++ core, 4 CPU threads, '
+                    f'{refMs} ms/iter (bench_baseline.json)',
+        'ms_per_iter': msPerIter,
+        'roofline_min_traffic_mb': minBytes / 1e6,
+        'roofline_ms': rooflineMs,
+        'pct_of_roofline': pctRoofline,
+        'hbm_gbps_assumed': hbm,
         'device': str(dev),
         'config': 'FALC-500, H6+CaII, 5 rays, Nlam=%d, 50 iters, '
                   'state=%s accum=%s'

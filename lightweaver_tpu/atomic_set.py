@@ -326,6 +326,106 @@ class RadiativeSet:
         return SpeciesStateTable(atmosphere=atmos, abundance=self.abundance,
                                  atomicPops=table, HminPops=HminPops)
 
+    def iterate_lte_ne_eq_pops(self, atmos, mols=None,
+                               nlteStartingPops: Optional[Dict] = None,
+                               direct: bool = False,
+                               tol: float = 1e-3,
+                               quiet: bool = True) -> SpeciesStateTable:
+        """Compute starting populations with a *self-consistent LTE
+        electron density*: iterate ne = sum_atoms sum_levels stage * n*
+        to a fixpoint (updating the Debye-lowered LTE populations each
+        sweep), overwriting ``atmos.ne`` with the solution.
+
+        ``direct=True`` uses plain damped fixpoint iteration; the
+        default solves the residual with scipy's Newton-Krylov, which
+        needs far fewer evaluations.
+
+        ref: /root/reference/lightweaver/atomic_set.py:851-963 and the
+        LteNeIterator at :125-161.
+        """
+        nlteStartingPops = nlteStartingPops or {}
+        for e in nlteStartingPops:
+            if e not in self.activeSet and e not in self.detailedStaticSet:
+                raise ValueError(
+                    f'Provided NLTE populations for {e} assumed LTE')
+        atoms = sorted(self.atoms.values(), key=lambda a: a.element)
+        nTotals = [self.abundance[a.element] * atmos.nHTot for a in atoms]
+        stages = [np.array([l.stage for l in a.levels]) for a in atoms]
+
+        def ne_from(ne):
+            """One sweep: LTE pops at the trial ne -> implied ne."""
+            out = np.zeros_like(ne)
+            for a, nTotal, stg in zip(atoms, nTotals, stages):
+                nStar = lte_pops(a, atmos.temperature, ne, nTotal,
+                                 debye=True)
+                if a.element in nlteStartingPops:
+                    nStar = nlteStartingPops[a.element]
+                out += np.sum(nStar * stg[:, None], axis=0)
+            return out
+
+        ne = np.copy(np.asarray(atmos.ne, np.float64))
+        if direct:
+            # plain fixpoint sweeps, accelerated every third sweep by
+            # per-point Aitken's delta-squared (the iteration is linearly
+            # convergent with rate ~0.997 on FAL-C, so raw sweeps alone
+            # need thousands of iterations)
+            hist = []
+            for it in range(3000):
+                neNew = ne_from(ne)
+                relDiff = np.nanmax(np.abs(1.0 - ne / neNew))
+                hist.append(neNew)
+                if len(hist) == 3:
+                    n0, n1, n2 = hist
+                    d1, d0 = n2 - n1, n1 - n0
+                    denom = d1 - d0
+                    safe = np.abs(denom) > 1e-12 * np.abs(n2)
+                    accel = n2 - np.where(safe, d1 ** 2
+                                          / np.where(safe, denom, 1.0), 0.0)
+                    neNew = np.where(accel > 0, accel, n2)
+                    hist = []
+                ne = neNew
+                if relDiff < tol:
+                    break
+            else:
+                from .utils import ConvergenceError
+                raise ConvergenceError('LTE ne failed to converge')
+            if not quiet:
+                print(f'Iterate LTE: {it} iterations')
+        else:
+            from scipy.optimize import NoConvergence, newton_krylov
+            nHTot = np.asarray(atmos.nHTot, np.float64)
+
+            def residual(neRatio):
+                # clip: Krylov trial steps may go non-positive, which
+                # the Debye-shift sqrt in lte_pops cannot take
+                neTrial = np.maximum(neRatio, 1e-30) * nHTot
+                return ne_from(neTrial) / nHTot - neRatio
+
+            neRatio = ne / nHTot
+            neRatio = neRatio + residual(neRatio)
+            try:
+                neRatio = newton_krylov(residual, neRatio, f_tol=tol * 1e-2)
+                ne = np.maximum(neRatio, 1e-30) * nHTot
+                # Newton-Krylov tolerance is absolute in ne/nHTot; where
+                # that ratio is small (deep photosphere ~1e-4) the
+                # *relative* error can still be percent-level, so polish
+                # with plain fixpoint sweeps to the relative tolerance.
+                for _ in range(100):
+                    neNew = ne_from(ne)
+                    relDiff = np.nanmax(np.abs(1.0 - ne / neNew))
+                    ne = neNew
+                    if relDiff < tol * 0.1:
+                        break
+            except NoConvergence:
+                # fall back to the (always-convergent, slower) fixpoint
+                return self.iterate_lte_ne_eq_pops(
+                    atmos, mols=mols, nlteStartingPops=nlteStartingPops,
+                    direct=True, tol=tol, quiet=quiet)
+        atmos.ne[:] = ne
+
+        return self.compute_eq_pops(atmos, mols=mols,
+                                    nlteStartingPops=nlteStartingPops)
+
     def compute_wavelength_grid(self, extraWavelengths=None,
                                 lambdaReference: float = 500.0) \
             -> SpectrumConfiguration:

@@ -236,6 +236,132 @@ class Burgess(CollisionalRates):
         Cmat[self.i, self.j, :] += Cdown
 
 
+def _johnson_gaunt_coeffs(n: int):
+    """Bound-free Gaunt-factor fit coefficients g0, g1, g2 of Johnson
+    (1972, ApJ 174, 227), eqs. 4-6."""
+    if n == 1:
+        return 1.1330, -0.4059, 0.07014
+    if n == 2:
+        return 1.0785, -0.2319, 0.02947
+    return (0.9935 + 0.2328 / n - 0.1296 / n ** 2,
+            -(0.6282 - 0.5598 / n + 0.5299 / n ** 2) / n,
+            (0.3887 - 1.181 / n + 1.470 / n ** 2) / n ** 2)
+
+
+def _johnson_bn(n: int) -> float:
+    if n == 1:
+        return -0.603
+    return (4.0 - 18.63 / n + 36.24 / n ** 2 - 28.09 / n ** 3) / n
+
+
+def _johnson_rn(n: int) -> float:
+    return 0.45 if n == 1 else 1.94 * n ** -1.57
+
+
+def johnson_fnn(n: int, nPrime: int) -> float:
+    """Johnson (1972) absorption oscillator strength n -> n' of hydrogen
+    (eq. 4).  Accurate to a few percent (exact f12 = 0.4162: this fit
+    gives 0.4162)."""
+    x = 1.0 - (n / nPrime) ** 2
+    g0, g1, g2 = _johnson_gaunt_coeffs(n)
+    g = g0 + g1 / x + g2 / x ** 2
+    return 32.0 / (3.0 * np.sqrt(3.0) * np.pi) * n / (nPrime ** 3 * x ** 3) * g
+
+
+def _expn2(t):
+    """E2(t) = exp(-t) - t*E1(t), stable form via scipy."""
+    from scipy.special import expn
+    return expn(2, t)
+
+
+def _principal_n(level) -> int:
+    """Principal quantum number of a hydrogen model level from its
+    statistical weight (g = 2 n^2)."""
+    n = int(round(np.sqrt(level.g / 2.0)))
+    if 2 * n ** 2 != int(round(level.g)):
+        raise ValueError(
+            f'Level {level.label!r} (g={level.g}) is not a full hydrogen '
+            f'n-shell; Johnson (1972) rates need g = 2n^2')
+    return n
+
+
+@dataclass
+class JohnsonCE(CollisionalRates):
+    """Electron-impact excitation of hydrogen n -> n', Johnson (1972,
+    ApJ 174, 227) eq. 36.  This is the data source behind the standard
+    RH/MULTI hydrogen model atoms' tabulated CE rates (which the
+    reference imports via Utils/ConvertAtom.py); here the formula is
+    evaluated directly at the local temperature instead of interpolating
+    a 5-point table."""
+
+    def setup(self, atom):
+        super().setup(atom)
+        self.n = _principal_n(self.iLevel)
+        self.nPrime = _principal_n(self.jLevel)
+        if self.nPrime <= self.n:
+            raise ValueError('JohnsonCE requires n(j) > n(i)')
+
+    def compute_rates(self, atmos, eqPops, Cmat):
+        from scipy.special import exp1
+        n, nP = self.n, self.nPrime
+        T = atmos.temperature
+        x = 1.0 - (n / nP) ** 2
+        f = johnson_fnn(n, nP)
+        A = 2.0 * n ** 2 * f / x
+        bn = _johnson_bn(n)
+        B = 4.0 * n ** 4 / (nP ** 3 * x ** 2) * (1.0 + 4.0 / (3.0 * x)
+                                                 + bn / x ** 2)
+        # y = dE(n->n') / kT with dE = x * E_n (Rydberg ladder)
+        En = Const.ERydberg / n ** 2
+        y = np.minimum(x * En / (Const.KBoltzmann * T), 300.0)
+        z = y + _johnson_rn(n) * x
+        E1y, E1z = exp1(y), exp1(z)
+        term = (A * ((1.0 / y + 0.5) * E1y - (1.0 / z + 0.5) * E1z)
+                + (B - A * np.log(2.0 * n ** 2 / x))
+                * (_expn2(y) / y - _expn2(z) / z))
+        vBar = np.sqrt(8.0 * Const.KBoltzmann * T / (np.pi * Const.MElectron))
+        Cup = (vBar * 2.0 * n ** 2 / x * np.pi * Const.RBohr ** 2
+               * y ** 2 * term)
+        Cup = np.maximum(Cup, 0.0) * atmos.ne
+        nstar = eqPops.atomicPops[self.atom.element].nStar
+        Cmat[self.j, self.i, :] += Cup
+        Cmat[self.i, self.j, :] += Cup * nstar[self.i] / nstar[self.j]
+
+
+@dataclass
+class JohnsonCI(CollisionalRates):
+    """Electron-impact ionisation of hydrogen from level n, Johnson
+    (1972, ApJ 174, 227) eq. 39, with xi(t) = E0(t) - 2 E1(t) + E2(t)."""
+
+    def setup(self, atom):
+        super().setup(atom)
+        self.n = _principal_n(self.iLevel)
+
+    def compute_rates(self, atmos, eqPops, Cmat):
+        from scipy.special import exp1
+        n = self.n
+        T = atmos.temperature
+        g0, g1, g2 = _johnson_gaunt_coeffs(n)
+        An = 32.0 * n / (3.0 * np.sqrt(3.0) * np.pi) * (g0 / 3.0 + g1 / 4.0
+                                                        + g2 / 5.0)
+        Bn = 2.0 / 3.0 * n ** 2 * (5.0 + _johnson_bn(n))
+        En = Const.ERydberg / n ** 2
+        y = np.minimum(En / (Const.KBoltzmann * T), 300.0)
+        z = y + _johnson_rn(n)
+
+        def xi(t):
+            return np.exp(-t) / t - 2.0 * exp1(t) + _expn2(t)
+
+        term = (An * (exp1(y) / y - exp1(z) / z)
+                + (Bn - An * np.log(2.0 * n ** 2)) * (xi(y) - xi(z)))
+        vBar = np.sqrt(8.0 * Const.KBoltzmann * T / (np.pi * Const.MElectron))
+        Cup = vBar * 2.0 * n ** 2 * np.pi * Const.RBohr ** 2 * y ** 2 * term
+        Cup = np.maximum(Cup, 0.0) * atmos.ne
+        nstar = eqPops.atomicPops[self.atom.element].nStar
+        Cmat[self.j, self.i, :] += Cup
+        Cmat[self.i, self.j, :] += Cup * nstar[self.i] / nstar[self.j]
+
+
 @dataclass
 class VanRegemorter(CollisionalRates):
     """Collisional excitation of permitted lines via the van Regemorter

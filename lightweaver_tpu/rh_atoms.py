@@ -28,7 +28,8 @@ from .broadening import (BarklemCrossSectionError,
                          HydrogenLinearStarkBroadening, LineBroadening,
                          QuadraticStarkBroadening, RadiativeBroadening,
                          VdwBarklem, VdwUnsold)
-from .collisional_rates import Omega, SeatonCI, VanRegemorter
+from .collisional_rates import (JohnsonCE, JohnsonCI, Omega, SeatonCI,
+                                VanRegemorter)
 
 
 def _lambda0_nm(levels, i, j):
@@ -105,13 +106,15 @@ def H_6_atom() -> AtomicModel:
             j=5, i=i, NlambdaGen=20,
             alpha0=_hyd_alpha0(n, 1, edge),
             minWavelength=edge / 4.0))
+    # Johnson (1972) electron-impact rates for every bound pair and
+    # bound level: this is the same data source the standard RH/MULTI
+    # hydrogen atoms tabulate their CE/CI from (the reference converts
+    # those tables via Utils/ConvertAtom.py); evaluated exactly here.
     collisions = []
-    for (i, j, f, *_r) in ln:
-        collisions.append(VanRegemorter(j=j, i=i, f=f))
     for i in range(5):
-        n = i + 1
-        edge = _lambda0_nm(lv, i, 5)
-        collisions.append(SeatonCI(j=5, i=i, alpha0=_hyd_alpha0(n, 1, edge)))
+        for j in range(i + 1, 5):
+            collisions.append(JohnsonCE(j=j, i=i))
+        collisions.append(JohnsonCI(j=5, i=i))
     return AtomicModel(element=PeriodicTable.element('H'), levels=levels,
                        lines=lines, continua=continua, collisions=collisions)
 

@@ -20,7 +20,9 @@
 #include "LwInternal.hpp"
 #include "npyio.hpp"
 
+#include <chrono>
 #include <cstdio>
+#include <cstdlib>
 #include <fstream>
 #include <map>
 #include <memory>
@@ -370,6 +372,8 @@ int main(int argc, char** argv)
     ctx.background = &background;
     ctx.depthData = &depthData;
     ctx.Nthreads = 1;
+    if (const char* nt = std::getenv("REFGOLD_NTHREADS"))
+        ctx.Nthreads = std::max(1, std::atoi(nt));
     ctx.methodScratch = nullptr;
     for (auto& holder : atoms)
         ctx.activeAtoms.push_back(&holder->atom);
@@ -395,6 +399,26 @@ int main(int argc, char** argv)
     ctx.iterFns = iterManager.fns[0];
 
     ctx.initialise_threads();
+
+    // ---- Benchmark mode: time formal_sol_gamma_matrices only ---------------
+    if (const char* bi = std::getenv("REFGOLD_BENCH_ITERS"))
+    {
+        int nBench = std::max(1, std::atoi(bi));
+        for (int it = 0; it < 2; ++it)   // warmup
+            formal_sol_gamma_matrices(ctx, false);
+        auto t0 = std::chrono::steady_clock::now();
+        for (int it = 0; it < nBench; ++it)
+            formal_sol_gamma_matrices(ctx, false);
+        auto t1 = std::chrono::steady_clock::now();
+        double msPerIter =
+            std::chrono::duration<double, std::milli>(t1 - t0).count()
+            / nBench;
+        std::printf("refgold-bench: Nspace=%d Nspect=%d Nrays=%d "
+                    "Nthreads=%d ms_per_iter=%.3f\n",
+                    Nspace, Nspect, Nrays, ctx.Nthreads, msPerIter);
+        npyio::save(opath("out_ms_per_iter.npy"), &msPerIter, {1});
+        return 0;
+    }
 
     // ---- MALI loop (mirrors iterate_ctx_se, fixed collisional rates) -------
     std::vector<double> dJHist, dPopsHist;

@@ -29,6 +29,12 @@ from lightweaver_tpu.rh_atoms import CaII_atom, H_6_atom  # noqa: E402
 
 
 def build_ctx(config: str):
+    if config == 'bench500':
+        # the bench.py configuration: FAL-C interpolated to 500 depth
+        # points in log column mass (for the reference-CPU ms/iter
+        # anchor recorded in bench_baseline.json)
+        import bench
+        return bench.build_ctx()
     atmos = Falc82()
     atmos.quadrature(5)
     if config == 'falc_h6ca':
