@@ -422,8 +422,13 @@ class Atmosphere:
                 gammaB: Optional[np.ndarray] = None,
                 chiB: Optional[np.ndarray] = None,
                 lowerBc: Optional[BoundaryCondition] = None,
-                upperBc: Optional[BoundaryCondition] = None) -> 'Atmosphere':
-        """2D (x, z) cartesian atmosphere with periodic x.
+                upperBc: Optional[BoundaryCondition] = None,
+                xLowerBc: Optional[BoundaryCondition] = None,
+                xUpperBc: Optional[BoundaryCondition] = None) \
+            -> 'Atmosphere':
+        """2D (x, z) cartesian atmosphere; x periodic by default, or
+        fixed inflow when both x BCs are callable (compute_bc returning
+        [Nlam, Nmu, 2, Nz]).
 
         height: [Nz] decreasing; x: [Nx] increasing; all field arrays
         [Nz, Nx] (flattened internally, k = z*Nx + x).
@@ -438,6 +443,8 @@ class Atmosphere:
             B=flat(B), gammaB=flat(gammaB), chiB=flat(chiB),
             lowerBc=lowerBc or ThermalisedRadiation(),
             upperBc=upperBc or ZeroRadiation(),
+            xLowerBc=xLowerBc or PeriodicRadiation(),
+            xUpperBc=xUpperBc or PeriodicRadiation(),
             Ndim=2, x=np.asarray(x, np.float64), Nz=Nz, Nx=Nx,
             vx=flat(vx), vz=flat(vz))
 

@@ -32,7 +32,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import constants as Const
-from .atmosphere import Atmosphere, ThermalisedRadiation, ZeroRadiation
+from .atmosphere import (Atmosphere, PeriodicRadiation,
+                         ThermalisedRadiation, ZeroRadiation)
 from .atomic_model import AtomicLine, AtomicModel
 from .background import basic_background
 from .iteration_update import IterationUpdate
@@ -133,10 +134,20 @@ class IterConfig:
     gammaMode: str = 'factored'
     # 2D extensions
     Ndim: int = 1
+    xPeriodic: bool = True
+    mux: Optional[np.ndarray] = None    # [Nmu] (2D rays)
     Nz: Optional[int] = None
     Nx: Optional[int] = None
     zGrid: Optional[np.ndarray] = None
     geom2d: Optional[Dict] = None       # (mu, toObs) -> geometry dict
+    # Local-operator acceleration of the coherent background-scattering
+    # term: solve the diagonal feedback J = J_fs + PsiBar*sca*(J - Jdag)
+    # pointwise after each formal solution.  Kills the slow lambda-
+    # iteration mode at Rayleigh/Thomson-dominated wavelengths (deep-UV
+    # J stalls at dJ ~1e-2 for hundreds of iterations without it); same
+    # fixed point, different trajectory than the reference, hence off by
+    # default (golden tests pin the reference trajectory).
+    accelerateScattering: bool = False
     # hybrid-PRD extensions (ref: /root/reference/Source/Prd.cpp:697-945)
     hprd: bool = False
     prdIdxs: Optional[np.ndarray] = None         # PRD-active lambda subset
@@ -250,6 +261,43 @@ def _wla(cfg: IterConfig, params, ai: int, ti: int, t: TransStatic):
     return jnp.broadcast_to(w[:, None], (t.W, cfg.Nk))
 
 
+def _accelerate_scattering(Jnew, Jdag, Psi, sca, wmu2, adt):
+    """Local (diagonal) operator acceleration of the coherent
+    background-scattering lambda iteration.
+
+    The formal solution computes J_fs = Lambda[(eta + sca*Jdag)/chi];
+    its pointwise sensitivity to the lagged Jdag is
+    c(la, k) = sca(la, k) * sum_mu wmu2 * Psi(la, mu, +/-, k).
+    Solving the scalar fixed point J = J_fs + c*(J - Jdag) gives
+    J = (J_fs - c*Jdag) / (1 - c): the Rayleigh/Thomson-dominated
+    deep-UV rows converge in a few steps instead of O(1/(1-c)) pure
+    lambda iterations.  Same fixed point (J = Jdag implies J = J_fs)."""
+    c = (sca.astype(adt) * jnp.sum(Psi.astype(adt) * wmu2[:, None, None],
+                                   axis=(1, 2)))
+    c = jnp.clip(c, 0.0, 1.0 - 1e-3)
+    return (Jnew - c * Jdag) / (1.0 - c)
+
+
+def _cast_params_to_working(params, dt):
+    """Normalise every input consumed by the ray-tensor math to the
+    working dtype.  Host state (pops, background, thermodynamics) is kept
+    in f64; without these casts an f32 program silently promotes its big
+    [W, Nmu, 2, Nk] elementwise tensors to EMULATED f64 on TPU (J alone
+    stays in accumDtype by design)."""
+    params = dict(params)
+    cast = lambda x: x.astype(dt) if hasattr(x, 'astype') else x
+    params['allPops'] = [cast(n) for n in
+                         (list(params['pops']) + list(params['detPops']))]
+    params['nStar'] = [cast(x) for x in
+                       (list(params['nStar']) + list(params['detNStar']))]
+    for key in ('bgChi', 'bgEta', 'bgSca', 'temperature', 'height'):
+        params[key] = cast(params[key])
+    for key in ('phi', 'wphi'):
+        params[key] = [[cast(x) if x is not None else None for x in pa]
+                       for pa in params[key]]
+    return params
+
+
 def build_iteration_fn(cfg: IterConfig):
     """The full MALI step as a pure function of the params pytree.
 
@@ -302,9 +350,9 @@ def build_iteration_fn(cfg: IterConfig):
         Nz, Nx = cfg.Nz, cfg.Nx
         T2 = params['temperature'].reshape(Nz, Nx)
         zG = jnp.asarray(cfg.zGrid, dt)
-        Iparts, PsiParts = [], []
+        Iparts, PsiParts, IeffParts = [], [], []
         for d, toObs in ((0, False), (1, True)):
-            Imu, PsiMu = [], []
+            Imu, PsiMu, IeffMu = [], [], []
             for mu in range(Nmu):
                 geom = cfg.geom2d[(mu, toObs)]
                 chi_m = chiTot[:, mu, d].reshape(Nlam, Nz, Nx)
@@ -325,15 +373,28 @@ def build_iteration_fn(cfg: IterConfig):
                     Iupw = jnp.zeros((Nlam, Nx), dt)
                 interp2d = ('besser' if 'besser' in cfg.formalSolver
                             else 'linear')
-                I_m, Psi_m = formal_sol_2d(chi_m, S_m, geom, Iupw,
-                                           interp=interp2d)
+                Ibc = None
+                if not cfg.xPeriodic:
+                    # the most-upwind x column is fixed from the
+                    # callable x BC: mux > 0 reads xLowerBc, mux < 0
+                    # xUpperBc (ref: FormalScalar2d.cpp:496-546)
+                    sgn = 1.0 if toObs else -1.0
+                    key = ('xLowerBcData' if sgn * cfg.mux[mu] >= 0
+                           else 'xUpperBcData')
+                    Ibc = params[key][:, mu, d].astype(dt)  # [Nlam, Nz]
+                I_m, Psi_m, Ieff_m = formal_sol_2d(
+                    chi_m, S_m, geom, Iupw, interp=interp2d,
+                    periodic=cfg.xPeriodic, Ibc=Ibc)
                 Imu.append(I_m.reshape(Nlam, Nk))
                 PsiMu.append(Psi_m.reshape(Nlam, Nk))
+                IeffMu.append(Ieff_m.reshape(Nlam, Nk))
             Iparts.append(jnp.stack(Imu, axis=1))
             PsiParts.append(jnp.stack(PsiMu, axis=1))
+            IeffParts.append(jnp.stack(IeffMu, axis=1))
         I = jnp.stack(Iparts, axis=2)           # [Nlam, Nmu, 2, Nk]
         Psi = jnp.stack(PsiParts, axis=2)
-        return I, Psi
+        IeffBase = jnp.stack(IeffParts, axis=2)
+        return I, Psi, IeffBase
 
     def formal_solve(params, chiTot, S):
         T = params['temperature']
@@ -402,23 +463,7 @@ def build_iteration_fn(cfg: IterConfig):
         return out
 
     def iteration(params, lambdaIterate=False, storeDepthData=False):
-        params = dict(params)
-        # Normalise every input consumed by the ray-tensor math to the
-        # working dtype.  Host state (pops, background, thermodynamics)
-        # is kept in f64; without these casts the f32 program silently
-        # promotes its big [W, Nmu, 2, Nk] elementwise tensors to
-        # EMULATED f64 on TPU (J alone stays in accumDtype by design).
-        cast = lambda x: x.astype(dt) if hasattr(x, 'astype') else x
-        params['allPops'] = [cast(n) for n in
-                             (list(params['pops']) + list(params['detPops']))]
-        allNStar = [cast(x) for x in
-                    (list(params['nStar']) + list(params['detNStar']))]
-        params['nStar'] = allNStar
-        for key in ('bgChi', 'bgEta', 'bgSca', 'temperature', 'height'):
-            params[key] = cast(params[key])
-        for key in ('phi', 'wphi'):
-            params[key] = [[cast(x) if x is not None else None for x in pa]
-                           for pa in params[key]]
+        params = _cast_params_to_working(params, dt)
         # J is carried in accumDtype (dJ at 5e-3 tolerance needs ~1e-4
         # relative precision in J, below the f32 noise floor of the
         # wmu-reduction); the formal solve consumes it at working dtype.
@@ -430,9 +475,7 @@ def build_iteration_fn(cfg: IterConfig):
                   + params['bgSca'][:, None, None, :] * JdagW[:, None, None, :])
         S = srcNum / chiTot
         if cfg.Ndim == 2:
-            I, Psi = formal_solve_2d(params, chiTot, S)
-            # 2D path: no compensated split yet; algebraically equivalent
-            IeffBase = I - Psi * srcNum
+            I, Psi, IeffBase = formal_solve_2d(params, chiTot, S)
         else:
             I, Psi, IeffBase = formal_solve(params, chiTot, S)
         if lambdaIterate:
@@ -441,6 +484,10 @@ def build_iteration_fn(cfg: IterConfig):
 
         Jnew = _sum_mu(I.astype(cfg.accumDtype),
                        0.5 * wmu.astype(cfg.accumDtype))
+        if cfg.accelerateScattering:
+            Jnew = _accelerate_scattering(
+                Jnew, Jdag, Psi, params['bgSca'],
+                (0.5 * wmu).astype(cfg.accumDtype), cfg.accumDtype)
         dJ = jnp.max(jnp.abs(1.0 - jnp.where(Jnew != 0.0, Jdag / Jnew, 1.0)))
 
         JRest = None
@@ -677,6 +724,165 @@ def build_iteration_fn(cfg: IterConfig):
     return iteration
 
 
+def build_prd_subset_fn(cfg: IterConfig, subIdxs: np.ndarray,
+                        prdLines: List[tuple]):
+    """Formal solution restricted to the PRD-active wavelength subset.
+
+    Mirrors the reference's ``FsMode::UpdateJ | UpdateRates | PrdOnly``
+    (ref: /root/reference/Source/PrdTemplates.hpp:19-113): solve I only
+    at the ``subIdxs`` rows of the global grid, update J (and JRest for
+    hPRD) there, and accumulate Rij/Rji for the PRD lines alone — Gamma
+    and all other transitions' rates are untouched.  Redistribution
+    sub-iterations therefore cost FS work proportional to the PRD-active
+    fraction of the grid instead of re-running the full-grid MALI step.
+
+    ``subIdxs`` is a static sorted index array; each PRD line's full
+    window must be contained in it.  ``prdLines`` is a list of (ai, ti)
+    into ``cfg.activeAtoms``.
+    """
+    subIdxs = np.asarray(subIdxs, np.int64)
+    Nsub = len(subIdxs)
+    Nmu, Nk = cfg.Nmu, cfg.Nk
+    dt = cfg.dtype
+    adt = cfg.accumDtype if cfg.accumDtype is not None else dt
+    allAtoms = cfg.activeAtoms + cfg.detailedAtoms
+    muz = jnp.asarray(cfg.muz, dt)
+    wmu = jnp.asarray(cfg.wmu, dt)
+    lamSub = jnp.asarray(cfg.wavelength[subIdxs], dt)
+    subIdxsJ = jnp.asarray(subIdxs)
+
+    # contiguous runs of subIdxs: (global lo, global hi, dest row)
+    segs = []
+    start = 0
+    for i in range(1, Nsub + 1):
+        if i == Nsub or subIdxs[i] != subIdxs[i - 1] + 1:
+            segs.append((int(subIdxs[start]), int(subIdxs[i - 1]) + 1,
+                         start))
+            start = i
+
+    for (ai, ti) in prdLines:
+        t = cfg.activeAtoms[ai].trans[ti]
+        s0 = int(np.searchsorted(subIdxs, t.Nblue))
+        if not np.array_equal(subIdxs[s0:s0 + t.W],
+                              np.arange(t.Nblue, t.Nred)):
+            raise ValueError('PRD line window not contained in subset')
+
+    def subset_fn(params):
+        params = _cast_params_to_working(params, dt)
+        chiSub = jnp.broadcast_to(
+            params['bgChi'][subIdxsJ][:, None, None, :], (Nsub, Nmu, 2, Nk))
+        etaSub = jnp.broadcast_to(
+            params['bgEta'][subIdxsJ][:, None, None, :], (Nsub, Nmu, 2, Nk))
+        for ai, a in enumerate(allAtoms):
+            n = params['allPops'][ai]
+            for ti, t in enumerate(a.trans):
+                if not any(min(hi, t.Nred) > max(lo, t.Nblue)
+                           for lo, hi, _ in segs):
+                    continue
+                Uji, Vij, Vji = _uv(cfg, params, ai, ti, t)
+                chi_t = n[t.i] * Vij - n[t.j] * Vji
+                eta_t = n[t.j] * Uji
+                for lo, hi, dst in segs:
+                    l2, h2 = max(lo, t.Nblue), min(hi, t.Nred)
+                    if h2 <= l2:
+                        continue
+                    sl = slice(l2 - t.Nblue, h2 - t.Nblue)
+                    chiSub = _window_add(chiSub, dst + l2 - lo, chi_t[sl])
+                    etaSub = _window_add(etaSub, dst + l2 - lo, eta_t[sl])
+
+        Jdag = params['J'][subIdxsJ].astype(adt)
+        JdagW = Jdag.astype(dt)
+        srcNum = (etaSub + params['bgSca'][subIdxsJ][:, None, None, :]
+                  * JdagW[:, None, None, :])
+        S = srcNum / chiSub
+
+        T = params['temperature']
+        height = params['height']
+        muzB = jnp.broadcast_to(muz[None, :], (Nsub, Nmu)).reshape(-1)
+        # down sweep (toObs=False): upper BC
+        if params.get('upperBcData') is not None:
+            Iupw_d = params['upperBcData'][subIdxsJ].reshape(-1)
+        elif cfg.upperThermalised:
+            Bnu0 = planck_nu(T[0], lamSub)
+            Bnu1 = planck_nu(T[1], lamSub)
+            dtau = (0.5 * (chiSub[:, :, 0, 0] + chiSub[:, :, 0, 1])
+                    * jnp.abs(height[0] - height[1]) / muz[None, :])
+            Iupw_d = (Bnu0[:, None]
+                      - (Bnu1[:, None] - Bnu0[:, None]) / dtau).reshape(-1)
+        else:
+            Iupw_d = jnp.zeros(Nsub * Nmu, dt)
+        I_d, Psi_d, _ = formal_sol_1d(
+            chiSub[:, :, 0].reshape(-1, Nk), S[:, :, 0].reshape(-1, Nk),
+            height, muzB, Iupw_d, to_obs=False,
+            method=cfg.formalSolver, mode=cfg.recurrenceMode)
+        # up sweep (toObs=True): lower BC
+        if params.get('lowerBcData') is not None:
+            Iupw_u = params['lowerBcData'][subIdxsJ].reshape(-1)
+        elif cfg.lowerThermalised:
+            BnuN = planck_nu(T[Nk - 1], lamSub)
+            BnuN1 = planck_nu(T[Nk - 2], lamSub)
+            dtau = (0.5 * (chiSub[:, :, 1, Nk - 1] + chiSub[:, :, 1, Nk - 2])
+                    * jnp.abs(height[Nk - 1] - height[Nk - 2])
+                    / muz[None, :])
+            Iupw_u = (BnuN[:, None]
+                      - (BnuN1[:, None] - BnuN[:, None]) / dtau).reshape(-1)
+        else:
+            Iupw_u = jnp.zeros(Nsub * Nmu, dt)
+        I_u, Psi_u, _ = formal_sol_1d(
+            chiSub[:, :, 1].reshape(-1, Nk), S[:, :, 1].reshape(-1, Nk),
+            height, muzB, Iupw_u, to_obs=True,
+            method=cfg.formalSolver, mode=cfg.recurrenceMode)
+        I = jnp.stack([I_d.reshape(Nsub, Nmu, Nk),
+                       I_u.reshape(Nsub, Nmu, Nk)], axis=2)
+
+        wmu2 = (0.5 * wmu).astype(adt)
+        Jnew = _sum_mu(I.astype(adt), wmu2)
+        if cfg.accelerateScattering:
+            Psi = jnp.stack([Psi_d.reshape(Nsub, Nmu, Nk),
+                             Psi_u.reshape(Nsub, Nmu, Nk)], axis=2)
+            Jnew = _accelerate_scattering(
+                Jnew, Jdag, Psi, params['bgSca'][subIdxsJ], wmu2, adt)
+        dJ = jnp.max(jnp.abs(1.0 - jnp.where(Jnew != 0.0, Jdag / Jnew, 1.0)))
+
+        JRest = None
+        if cfg.hprd and cfg.prdIdxs is not None:
+            # rest-frame mean intensity on the PRD-active subset, from the
+            # subset rows only (subIdxs covers all lambdas that scatter
+            # into the PRD region — ref: Prd.cpp:760-811)
+            lamPrd = jnp.asarray(cfg.wavelength[cfg.prdIdxs], dt)
+            vlosMu = jnp.asarray(cfg.vlosMu, dt)
+            sgn = jnp.asarray([-1.0, 1.0], dt)
+            fac = 1.0 + (sgn[None, :, None] * vlosMu[:, None, :]
+                         / Const.CLight)
+
+            def interp_one(facS, I_S):
+                return jnp.interp(lamPrd, lamSub * facS, I_S)
+            f3 = jax.vmap(jax.vmap(jax.vmap(interp_one, in_axes=(0, 1)),
+                                   in_axes=(0, 1)), in_axes=(0, 1))
+            IRest = f3(fac, I)
+            JRest = jnp.sum(IRest * (0.5 * wmu)[:, None, None, None],
+                            axis=(0, 1)).T
+
+        RijOut, RjiOut = [], []
+        for (ai, ti) in prdLines:
+            t = cfg.activeAtoms[ai].trans[ti]
+            s0 = int(np.searchsorted(subIdxs, t.Nblue))
+            I_w = I[s0:s0 + t.W]
+            Uji, Vij, Vji = _uv(cfg, params, ai, ti, t)
+            wlaA = _wla(cfg, params, ai, ti, t).astype(adt)
+            RijOut.append(_sum_lmd((I_w * Vij).astype(adt), wlaA, wmu2))
+            RjiOut.append(_sum_lmd((Uji + I_w * Vji).astype(adt), wlaA,
+                                   wmu2))
+
+        out = {'J': Jnew, 'I': I[:, :, 1, 0], 'dJ': dJ,
+               'Rij': RijOut, 'Rji': RjiOut}
+        if JRest is not None:
+            out['JRest'] = JRest
+        return out
+
+    return subset_fn
+
+
 @partial(jax.jit)
 def _stat_eq_solve(Gamma, n, nTotal):
     """Batched-over-depth statistical equilibrium: replace the row of the
@@ -716,7 +922,8 @@ class Context:
                  recurrenceMode: str = 'scan',
                  backgroundProvider=None,
                  crswCallback=None,
-                 dtype=None, accumDtype=None):
+                 dtype=None, accumDtype=None,
+                 accelerateScattering: bool = False):
         self.atmos = atmos
         self.spect = spect
         self.eqPops = eqPops
@@ -752,7 +959,8 @@ class Context:
             formalSolver=formalSolver, recurrenceMode=recurrenceMode,
             dtype=dtype, wavelength=np.asarray(spect.wavelength),
             muz=np.asarray(atmos.muz), wmu=np.asarray(atmos.wmu),
-            accumDtype=accumDtype)
+            accumDtype=accumDtype,
+            accelerateScattering=accelerateScattering)
 
         if atmos.Ndim == 2:
             from .ops.formal_solver2d import build_geometry_2d
@@ -760,6 +968,13 @@ class Context:
             self.cfg.Nz = atmos.Nz
             self.cfg.Nx = atmos.Nx
             self.cfg.zGrid = np.asarray(atmos.zGrid)
+            self.cfg.mux = np.asarray(atmos.mux)
+            xlP = isinstance(atmos.xLowerBc, PeriodicRadiation)
+            xuP = isinstance(atmos.xUpperBc, PeriodicRadiation)
+            if xlP != xuP:
+                raise ValueError('Mixed x boundary types not supported: '
+                                 'both periodic or both callable')
+            self.cfg.xPeriodic = xlP
             geom = {}
             for mu in range(atmos.Nrays):
                 for toObs in (False, True):
@@ -826,6 +1041,12 @@ class Context:
         self._Gamma = None
         self._Rij = None
         self._Rji = None
+        self._prd_fs_fn = None
+        self._prdSubIdxs = None
+        # 'subset' = reference FsMode::PrdOnly semantics (FS cost of a
+        # rho sub-iteration scales with the PRD-active fraction of the
+        # grid); 'full' re-runs the full-grid MALI step instead.
+        self.prdFsMode = 'subset'
 
         from types import SimpleNamespace
         # opt-in full-resolution chi/eta/I capture
@@ -953,6 +1174,10 @@ class Context:
             'rhoPrd': self.rhoPrd,
             'upperBcData': self._bc_data(self.atmos.upperBc),
             'lowerBcData': self._bc_data(self.atmos.lowerBc),
+            'xLowerBcData': self._x_bc_data(
+                getattr(self.atmos, 'xLowerBc', None)),
+            'xUpperBcData': self._x_bc_data(
+                getattr(self.atmos, 'xUpperBc', None)),
         }
 
     def _bc_data(self, bc):
@@ -965,6 +1190,23 @@ class Context:
         data = np.asarray(data, np.float64)
         if data.ndim == 3:          # [Nlam, Nmu, Nspatial=1]
             data = data[..., 0]
+        return jnp.asarray(data, self.dtype)
+
+    def _x_bc_data(self, bc):
+        """Evaluate a callable x boundary condition for non-periodic 2D
+        atmospheres to I_incident[Nlam, Nmu, 2, Nz] ((up, down) like the
+        intensity layout), or None for periodic / absent / 1D.
+        ref: /root/reference/Source/FormalScalar2d.cpp:496-546"""
+        if self.cfg.Ndim != 2 or self.cfg.xPeriodic or bc is None:
+            return None
+        data = bc.compute_bc(self.atmos, self.spect)
+        if data is None:
+            return None
+        data = np.asarray(data, np.float64)
+        if data.shape != (self.cfg.Nlam, self.cfg.Nmu, 2, self.cfg.Nz):
+            raise ValueError(
+                'Callable x BC must return [Nlam, Nmu, 2(down,up), Nz], '
+                f'got {data.shape}')
         return jnp.asarray(data, self.dtype)
 
     def _deviceC(self):
@@ -1000,6 +1242,10 @@ class Context:
         p['rhoPrd'] = self.rhoPrd
         p['upperBcData'] = self._bc_data(self.atmos.upperBc)
         p['lowerBcData'] = self._bc_data(self.atmos.lowerBc)
+        p['xLowerBcData'] = self._x_bc_data(
+            getattr(self.atmos, 'xLowerBc', None))
+        p['xUpperBcData'] = self._x_bc_data(
+            getattr(self.atmos, 'xUpperBc', None))
         out = self._iter_fn(p, lambdaIterate=lambdaIterate,
                             storeDepthData=self.depthData.fill)
         self._Gamma = out['Gamma']
@@ -1488,6 +1734,58 @@ class Context:
                 for ai, a in enumerate(self.cfg.activeAtoms)
                 for ti, t in enumerate(a.trans) if t.isLine and t.isPrd]
 
+    def _prd_subset_idxs(self) -> np.ndarray:
+        """Static PRD-active wavelength subset for redistribution
+        sub-iterations: the union of the PRD lines' windows, widened
+        (for hPRD) to every wavelength whose Doppler-shifted neighbour
+        range scatters into the PRD region
+        (ref: /root/reference/Source/Prd.cpp:740-811)."""
+        cfg = self.cfg
+        prdActive = np.zeros(cfg.Nlam, bool)
+        for ai, ti, a, t in self._prd_lines():
+            prdActive[t.Nblue:t.Nred] = True
+        if cfg.hprd and cfg.vlosMu is not None:
+            w = np.asarray(cfg.wavelength, np.float64)
+            facs = (1.0 + np.array([-1.0, 1.0])[None, :, None]
+                    * np.asarray(cfg.vlosMu)[:, None, :]
+                    / Const.CLight).ravel()               # [Nmu*2*Nk]
+            prevLam = w[np.maximum(np.arange(cfg.Nlam) - 1, 0)]
+            nextLam = w[np.minimum(np.arange(cfg.Nlam) + 1, cfg.Nlam - 1)]
+            lo = prevLam[:, None] * facs[None, :]         # [Nlam, M]
+            hi = nextLam[:, None] * facs[None, :]
+            iLo = np.searchsorted(w, lo, side='left')
+            iHi = np.searchsorted(w, hi, side='right')
+            cum = np.concatenate([[0], np.cumsum(prdActive)])
+            scatters = (cum[iHi] - cum[iLo]) > 0
+            prdActive |= scatters.any(axis=1)
+        return np.nonzero(prdActive)[0]
+
+    def _prd_subset_fs(self) -> 'IterationUpdate':
+        """Subset formal solution for PRD sub-iterations: refresh J (and
+        JRest) and the PRD lines' radiative rates at the PRD-active
+        wavelengths only, leaving Gamma and every other rate untouched
+        (ref: FsMode::PrdOnly, PrdTemplates.hpp:19-113)."""
+        if self._prd_fs_fn is None:
+            prdLines = [(ai, ti) for ai, ti, a, t in self._prd_lines()]
+            self._prdSubIdxs = self._prd_subset_idxs()
+            self._prd_fs_fn = jax.jit(build_prd_subset_fn(
+                self.cfg, self._prdSubIdxs, prdLines))
+        p = self._params
+        p['J'] = self.J
+        p['pops'] = [st['n'] for st in self.popsState]
+        p['nStar'] = [st['nStar'] for st in self.popsState]
+        p['rhoPrd'] = self.rhoPrd
+        out = self._prd_fs_fn(p)
+        subJ = jnp.asarray(self._prdSubIdxs)
+        self.J = self.J.at[subJ].set(out['J'])
+        self.I = self.I.at[subJ].set(out['I'].astype(self.I.dtype))
+        for li, (ai, ti, a, t) in enumerate(self._prd_lines()):
+            self._Rij[ai][ti] = out['Rij'][li]
+            self._Rji[ai][ti] = out['Rji'][li]
+        if 'JRest' in out:
+            self.JRest = out['JRest']
+        return out['dJ']
+
     def prd_redistribute(self, maxIter: int = 3,
                          tol: float = 1e-2) -> IterationUpdate:
         """Iterate the PRD emission-profile ratios rho: per line compute
@@ -1546,17 +1844,23 @@ class Context:
                 dRhoMax = max(dRhoMax, dRho[li])
                 self.rhoPrd[ai][ti] = jnp.asarray(rho, self.dtype)
 
-            # refresh J and rates with the new rho (the reference restricts
-            # this to PRD-active wavelengths; the dense-batch program runs
-            # the full grid, which also refreshes overlapping rates).
-            # Freeze the CRSW schedule across sub-iterations.
-            cur = getattr(self, '_crswVal', 1.0)
-            cb = self.crswCallback
-            self.crswCallback = (lambda: cur) if cb is not None else None
-            try:
-                self.formal_sol_gamma_matrices()
-            finally:
-                self.crswCallback = cb
+            # refresh J and the PRD lines' rates with the new rho on the
+            # PRD-active wavelength subset only (ref FsMode::PrdOnly);
+            # 2D / depth-data runs (and prdFsMode='full') fall back to
+            # the full-grid program.
+            if self.prdFsMode == 'subset' and self.cfg.Ndim == 1 \
+                    and not self.depthData.fill \
+                    and getattr(self, '_params', None) is not None:
+                self._prd_subset_fs()
+            else:
+                # freeze the CRSW schedule across sub-iterations
+                cur = getattr(self, '_crswVal', 1.0)
+                cb = self.crswCallback
+                self.crswCallback = (lambda: cur) if cb is not None else None
+                try:
+                    self.formal_sol_gamma_matrices()
+                finally:
+                    self.crswCallback = cb
             if dRhoMax < tol:
                 break
 

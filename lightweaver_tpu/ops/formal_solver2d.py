@@ -108,26 +108,49 @@ def _ring_affine_solve(A, b):
     return jnp.moveaxis(I, 0, -1)
 
 
-@partial(jax.jit, static_argnames=('dj', 'interp'))
-def _sweep_2d(chi, S, geomAxisZ, geomW, geomDs, Iupw, dj, interp='linear'):
+@partial(jax.jit, static_argnames=('dj', 'interp', 'periodic'))
+def _sweep_2d(chi, S, geomAxisZ, geomW, geomDs, Iupw, dj, interp='linear',
+              periodic=True, Ibc=None):
     """z-plane sweep for one ray group.
 
     chi, S: [B, Nzs, Nx] already reordered into sweep order along axis 1;
     geom*: [Nzs-1, Nx]; Iupw: [B, Nx] starting-plane intensity.
-    interp: 'linear' | 'besser' upwind interpolation for chi and S
-    (the intensity interpolation stays linear so the in-plane coupling
-    remains an affine ring system -- a TPU-native compromise vs the
-    reference's fully-BESSER sweep).
-    Returns I, Psi (undivided): [B, Nzs, Nx] in sweep order.
+    interp: 'linear' | 'besser' upwind interpolation of chi, S and I.
+    periodic: cyclic x coupling; when False, the most-upwind x column is
+    a fixed (callable) boundary column whose intensity per plane comes
+    from Ibc [Nzs-1, B] (sweep order, starting plane excluded) and whose
+    Psi is zero (ref: /root/reference/Source/FormalScalar2d.cpp:496-546).
+
+    BESSER intensity interpolation keeps the in-plane coupling affine by
+    freezing the monotonic control point at the linear-pass solution: an
+    initial ring solve with linear I gives I0, the Bezier control point
+    cM(I0) is then a known quantity, and the quadratic term (1-u)^2 in
+    the unknown upwind intensity re-enters the affine recurrence exactly
+    (a Jacobi linearisation of the reference's Gauss-Seidel x sweep,
+    ref: interp_besser_2d /root/reference/Source/FormalScalar2d.cpp:297-434).
+
+    Returns I, Psi (undivided), IeffBase: [B, Nzs, Nx] in sweep order,
+    where IeffBase = I - Psi*S accumulated from non-cancelling terms
+    (w1*SUw/dtau + (1-w0)*Iuw) for f32 safety in the optically-thick
+    limit.
     """
     B, Nzs, Nx = chi.shape
     jPrev = (jnp.arange(Nx) - dj) % Nx
     jPrev2 = (jnp.arange(Nx) - 2 * dj) % Nx
     ringOrder = jnp.arange(Nx) if dj > 0 else jnp.arange(Nx)[::-1]
     invOrder = jnp.argsort(ringOrder)
+    j0 = 0 if dj > 0 else Nx - 1                # most-upwind x column
+    colMask = (jnp.arange(Nx) == j0)
+    if Ibc is None:
+        Ibc = jnp.zeros((Nzs - 1, B), chi.dtype)
 
-    def plane_step(Iprev, inputs):
-        chiP2, chiP, chiC, SP2, SP, SC, axisZ, w, ds = inputs
+    def solve_ring(A, b):
+        Iring = _ring_affine_solve(A[:, ringOrder], b[:, ringOrder])
+        return Iring[:, invOrder]
+
+    def plane_step(carry, inputs):
+        Iprev, Iprev2 = carry
+        chiP2, chiP, chiC, SP2, SP, SC, axisZ, w, ds, IbcP = inputs
         # chiP/SP/Iprev: previous plane [B, Nx]; chiC/SC: current [B, Nx].
         # axis-Z (side face): upwind = (1-w)*(current, j-dj) + w*(prev, j-dj)
         # axis-X (prev plane): upwind = (1-w)*(prev, j) + w*(prev, j-dj)
@@ -166,15 +189,40 @@ def _sweep_2d(chi, S, geomAxisZ, geomW, geomDs, Iupw, dj, interp='linear'):
                            base + (1.0 - w0) * w * IPP,
                            base + (1.0 - w0) * IuwX)
         A = jnp.where(axisZ, (1.0 - w0) * (1.0 - w), 0.0)
+        if not periodic:
+            # fixed boundary column: breaks the ring into a plain chain
+            A = jnp.where(colMask[None, :], 0.0, A)
+            bKnown = jnp.where(colMask[None, :], IbcP[:, None], bKnown)
+        Icur = solve_ring(A, bKnown)
+        Iuw = jnp.where(axisZ, (1.0 - w) * Icur[:, jPrev] + w * IPP, IuwX)
 
-        # cyclic affine solve along x in ring order
-        Aring = A[:, ringOrder]
-        bring = bKnown[:, ringOrder]
-        Iring = _ring_affine_solve(Aring, bring)
-        Icur = Iring[:, invOrder]
+        if interp == 'besser':
+            # second pass: BESSER-interpolated upwind intensity with the
+            # control point frozen at the first-pass solution
+            IuwXb = _besser_interp(Iprev, IPP, Iprev[:, jPrev2], w)
+            cM = besser_control_point(1.0, 1.0, Icur[:, jPrev], IPP,
+                                      Iprev2[:, jPrev])
+            knownZ = 2.0 * w * (1.0 - w) * cM + w ** 2 * IPP
+            bKnown2 = jnp.where(axisZ,
+                                base + (1.0 - w0) * knownZ,
+                                base + (1.0 - w0) * IuwXb)
+            A2 = jnp.where(axisZ, (1.0 - w0) * (1.0 - w) ** 2, 0.0)
+            if not periodic:
+                A2 = jnp.where(colMask[None, :], 0.0, A2)
+                bKnown2 = jnp.where(colMask[None, :], IbcP[:, None],
+                                    bKnown2)
+            Icur = solve_ring(A2, bKnown2)
+            Iuw = jnp.where(axisZ,
+                            (1.0 - w) ** 2 * Icur[:, jPrev] + knownZ,
+                            IuwXb)
 
         Psi = w0 - w1 / dtau
-        return Icur, (Icur, Psi)
+        # compensated split: I - Psi*S from non-cancelling terms
+        Ieffb = w1 * SUw / dtau + (1.0 - w0) * Iuw
+        if not periodic:
+            Psi = jnp.where(colMask[None, :], 0.0, Psi)
+            Ieffb = jnp.where(colMask[None, :], Icur, Ieffb)
+        return (Icur, Iprev), (Icur, Psi, Ieffb)
 
     # plane m-2 (duplicated at the first interval, where the 3-point
     # stencil falls back towards linear)
@@ -184,31 +232,43 @@ def _sweep_2d(chi, S, geomAxisZ, geomW, geomDs, Iupw, dj, interp='linear'):
               chi[:, :-1].swapaxes(0, 1), chi[:, 1:].swapaxes(0, 1),
               SP2.swapaxes(0, 1),
               S[:, :-1].swapaxes(0, 1), S[:, 1:].swapaxes(0, 1),
-              geomAxisZ, geomW, geomDs)
-    _, (Iseq, PsiSeq) = jax.lax.scan(plane_step, Iupw, inputs)
+              geomAxisZ, geomW, geomDs, Ibc)
+    _, (Iseq, PsiSeq, IeffSeq) = jax.lax.scan(plane_step, (Iupw, Iupw),
+                                              inputs)
     I = jnp.concatenate([Iupw[:, None, :], Iseq.swapaxes(0, 1)], axis=1)
     Psi = jnp.concatenate([jnp.zeros((B, 1, Nx), chi.dtype),
                            PsiSeq.swapaxes(0, 1)], axis=1)
-    return I, Psi
+    Ieffb = jnp.concatenate([Iupw[:, None, :], IeffSeq.swapaxes(0, 1)],
+                            axis=1)
+    return I, Psi, Ieffb
 
 
-def formal_sol_2d(chi, S, geom, Iupw, interp='linear'):
+def formal_sol_2d(chi, S, geom, Iupw, interp='linear', periodic=True,
+                  Ibc=None):
     """2D formal solution for one (mu, toObs) ray over a [Nz, Nx] grid.
 
     chi, S: [B, Nz, Nx] (natural z order, index 0 = top); geom from
     build_geometry_2d; Iupw: [B, Nx] boundary intensity at the sweep
-    start plane; interp: 'linear' | 'besser' upwind chi/S interpolation.
-    Returns I, Psi ([B, Nz, Nx], natural order; Psi divided by chi).
+    start plane; interp: 'linear' | 'besser' upwind interpolation of
+    chi, S and I; periodic: cyclic x (False = fixed callable x BC with
+    per-plane intensities Ibc [B, Nz] in natural z order).
+    Returns I, Psi, IeffBase ([B, Nz, Nx], natural order; Psi divided by
+    chi; IeffBase = I - (Psi/chi)*(S*chi) via the compensated split).
     """
     sweepZ = geom['sweepZ']
     chi_s = chi[:, sweepZ]
     S_s = S[:, sweepZ]
-    I_s, Psi_s = _sweep_2d(chi_s, S_s,
-                           jnp.asarray(geom['axisZ']),
-                           jnp.asarray(geom['w'], chi.dtype),
-                           jnp.asarray(geom['ds'], chi.dtype),
-                           Iupw, int(geom['dj']), interp=interp)
+    IbcS = None
+    if Ibc is not None:
+        IbcS = Ibc[:, sweepZ[1:]].swapaxes(0, 1)    # [Nzs-1, B]
+    I_s, Psi_s, Ieff_s = _sweep_2d(chi_s, S_s,
+                                   jnp.asarray(geom['axisZ']),
+                                   jnp.asarray(geom['w'], chi.dtype),
+                                   jnp.asarray(geom['ds'], chi.dtype),
+                                   Iupw, int(geom['dj']), interp=interp,
+                                   periodic=periodic, Ibc=IbcS)
     inv = np.argsort(sweepZ)
     I = I_s[:, inv]
     Psi = Psi_s[:, inv] / chi
-    return I, Psi
+    Ieffb = Ieff_s[:, inv]
+    return I, Psi, Ieffb

@@ -2,15 +2,29 @@
 wavelength, via jax.sharding over a device mesh.
 
 The reference delegates multi-column work to user-level MPI/ProcessPool
-(ref: /root/reference/docs/index.rst:36-38); here it is first-class: the
-single-column MALI iteration is a pure function of a params pytree
-(see context.build_iteration_fn), so a batch of columns is vmap over a
-stacked pytree, sharded across the mesh 'columns' axis, with the dense
-wavelength axis optionally sharded across 'wavelength' (XLA inserts the
-window-slice halo collectives automatically under GSPMD).
+(ref: /root/reference/docs/index.rst:36-38); here it is first-class:
+
+- **Array-native construction** (:meth:`ColumnBatch.from_stacked`): the
+  C stacked [C, Nk] atmosphere arrays are flattened into ONE C*Nk-point
+  Atmosphere + Context, whose pointwise setup (background opacities,
+  line profiles, collisional rates, LTE populations) vectorises over the
+  entire batch in one numpy pass -- no per-column Context objects.  The
+  params pytree is then reshaped [*, C*Nk] -> [C, *, Nk] for the
+  batched device program.
+- **Batched device iteration**: the single-column MALI step is a pure
+  function of a params pytree (context.build_iteration_fn), so the
+  batch is vmap over the stacked pytree, sharded across the mesh
+  'columns' axis, with the dense wavelength axis optionally sharded
+  across 'wavelength' (XLA inserts the window-slice halo collectives
+  automatically under GSPMD).
+- **Host-side state updates run on the flat context**: statistical
+  equilibrium, Newton-Raphson charge conservation, and LTE refreshes
+  are pointwise in depth, so the flat C*Nk-point context performs them
+  for every column at once; per-column Ng acceleration and
+  per-column convergence masking are layered on top.
 """
 from functools import partial
-from typing import List, Optional
+from typing import Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -19,6 +33,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..context import Context, build_iteration_fn, _stat_eq_solve
 from ..iteration_update import IterationUpdate
+from ..ops.ng import BatchedNg, NgOptions
 
 
 def make_mesh(nColumns: Optional[int] = None, nWavelength: int = 1,
@@ -35,20 +50,65 @@ def make_mesh(nColumns: Optional[int] = None, nWavelength: int = 1,
     return Mesh(dev, axis_names=('columns', 'wavelength'))
 
 
+def _batch_leaf(x, C: int, Nk: int):
+    """Reshape a flat-context leaf [..., C*Nk] to a batch leaf
+    [C, ..., Nk]; replicate k-independent leaves over C."""
+    if x is None:
+        return None
+    x = jnp.asarray(x)
+    if x.ndim >= 1 and x.shape[-1] == C * Nk:
+        y = x.reshape(x.shape[:-1] + (C, Nk))
+        return jnp.moveaxis(y, -2, 0)
+    return jnp.broadcast_to(x, (C,) + x.shape)
+
+
+def _unbatch_leaf(x):
+    """Inverse of :func:`_batch_leaf` for k-carrying leaves:
+    [C, ..., Nk] -> [..., C*Nk]."""
+    y = jnp.moveaxis(x, 0, -2)
+    return y.reshape(y.shape[:-2] + (y.shape[-2] * y.shape[-1],))
+
+
 class ColumnBatch:
     """A batch of independent 1D NLTE problems sharing the same models and
-    wavelength grid, iterated in lockstep and sharded over a mesh."""
+    wavelength grid, iterated in lockstep and sharded over a mesh.
 
-    def __init__(self, contexts: List[Context], mesh: Optional[Mesh] = None):
-        if not contexts:
-            raise ValueError('Need at least one context')
-        self.contexts = contexts
-        self.cfg = contexts[0].cfg
+    Construct from stacked atmosphere arrays (:meth:`from_stacked`,
+    array-native; supports Ng acceleration, charge conservation and
+    per-column convergence masking) or from a list of prebuilt Contexts
+    (legacy; lockstep only).
+    """
+
+    def __init__(self, contexts: Optional[List[Context]] = None,
+                 mesh: Optional[Mesh] = None, *,
+                 flatCtx: Optional[Context] = None, Ncol: int = 0,
+                 ngOptions: Optional[NgOptions] = None):
         self.mesh = mesh
-        self.Ncol = len(contexts)
-
-        paramsList = [c.build_params() for c in contexts]
-        self.params = jax.tree.map(lambda *xs: jnp.stack(xs), *paramsList)
+        self.flatCtx = None
+        if flatCtx is not None:
+            self.flatCtx = flatCtx
+            self.Ncol = Ncol
+            self.NkCol = flatCtx.atmos.Nspace // Ncol
+            import dataclasses
+            self.cfg = dataclasses.replace(flatCtx.cfg, Nk=self.NkCol)
+            self.params = self._batch_params(flatCtx.build_params())
+            ngOptions = ngOptions or NgOptions(0, 0, 0)
+            self.ngs = [BatchedNg(ngOptions.Norder, ngOptions.Nperiod,
+                                  ngOptions.Ndelay,
+                                  np.asarray(self.params['pops'][ai])
+                                  .reshape(Ncol, -1))
+                        for ai in range(len(self.cfg.activeAtoms))]
+            self.converged = np.zeros(Ncol, bool)
+            self.nIterCol = np.zeros(Ncol, np.int64)
+        elif contexts:
+            self.contexts = contexts
+            self.cfg = contexts[0].cfg
+            self.Ncol = len(contexts)
+            paramsList = [c.build_params() for c in contexts]
+            self.params = jax.tree.map(lambda *xs: jnp.stack(xs),
+                                       *paramsList)
+        else:
+            raise ValueError('Need contexts or a flat context')
         if mesh is not None:
             self.params = self._shard(self.params)
 
@@ -60,21 +120,51 @@ class ColumnBatch:
         self._stat_eq = jax.jit(jax.vmap(_stat_eq_solve))
         self._GammaOut = None
 
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_stacked(cls, height, temperature, vlos, vturb, ne, nHTot,
+                     models, activeSpecies, Nrays: int = 5,
+                     mesh: Optional[Mesh] = None,
+                     ngOptions: Optional[NgOptions] = None,
+                     conserveCharge: bool = False,
+                     **ctxKwargs) -> 'ColumnBatch':
+        """Array-native batch construction from stacked [C, Nk] arrays
+        (height may be shared [Nk]).  ``models`` is a zero-arg factory
+        returning the list of AtomicModels (fresh per call);
+        ``activeSpecies`` the names to set active."""
+        from ..atomic_set import RadiativeSet
+        from ..atmosphere import Atmosphere
+
+        temperature = np.asarray(temperature, np.float64)
+        C, Nk = temperature.shape
+        height = np.asarray(height, np.float64)
+        if height.ndim == 1:
+            height = np.broadcast_to(height[None, :], (C, Nk))
+        flat = lambda a: np.asarray(a, np.float64).reshape(C * Nk).copy()
+
+        atmos = Atmosphere(height=flat(height), temperature=flat(temperature),
+                           vlos=flat(vlos), vturb=flat(vturb),
+                           ne=flat(ne), nHTot=flat(nHTot))
+        atmos.quadrature(Nrays)
+        rs = RadiativeSet(models())
+        rs.set_active(*activeSpecies)
+        spect = rs.compute_wavelength_grid()
+        eqPops = rs.compute_eq_pops(atmos)
+        # Ng handled per-column by the batch, not by the flat context
+        flatCtx = Context(atmos, spect, eqPops,
+                          conserveCharge=conserveCharge, **ctxKwargs)
+        return cls(mesh=mesh, flatCtx=flatCtx, Ncol=C, ngOptions=ngOptions)
+
+    def _batch_params(self, p: Dict) -> Dict:
+        C, Nk = self.Ncol, self.NkCol
+        return jax.tree.map(lambda x: _batch_leaf(x, C, Nk), p,
+                            is_leaf=lambda x: x is None)
+
     def _shard(self, tree):
         """Columns axis on dim 0 of every stacked leaf; wavelength axis on
         the dense [Nlam, Nk] leaves."""
         mesh = self.mesh
         lamSharded = {'J', 'bgChi', 'bgEta', 'bgSca'}
-
-        def put(path, x):
-            name = path[-1] if path else ''
-            if x.ndim >= 3 and name in lamSharded:
-                spec = P('columns', 'wavelength')
-            else:
-                spec = P('columns')
-            return jax.device_put(x, NamedSharding(mesh, spec))
-
-        # jax.tree_util with path
         flat, treedef = jax.tree_util.tree_flatten_with_path(tree)
         out = []
         for path, leaf in flat:
@@ -92,13 +182,24 @@ class ColumnBatch:
             -> IterationUpdate:
         fn = self._iter_lambda if lambdaIterate else self._iter_full
         out = fn(self.params)
-        self.params['J'] = out['J']
+        if self.flatCtx is not None and self.converged.any():
+            # freeze converged columns' radiation field
+            mask = jnp.asarray(self.converged)[:, None, None]
+            self.params['J'] = jnp.where(mask, self.params['J'], out['J'])
+        else:
+            self.params['J'] = out['J']
         self._GammaOut = out['Gamma']
         self.I = out['I']
-        dJ = float(jnp.max(out['dJ']))
+        self.dJCol = np.asarray(out['dJ'])                  # [C]
+        if self.flatCtx is not None:
+            dJ = float(np.max(np.where(self.converged, 0.0, self.dJCol)))
+        else:
+            dJ = float(self.dJCol.max())
         return IterationUpdate(self, updatedJ=True, dJMax=dJ)
 
     def stat_equil(self) -> IterationUpdate:
+        if self.flatCtx is not None:
+            return self._stat_equil_flat()
         dPops = []
         for ai, a in enumerate(self.cfg.activeAtoms):
             n = self.params['pops'][ai]
@@ -110,6 +211,56 @@ class ColumnBatch:
             self.params['pops'][ai] = nNew
         return IterationUpdate(self, updatedPops=True, dPops=dPops)
 
+    def _stat_equil_flat(self) -> IterationUpdate:
+        """Statistical equilibrium (+ optional NR charge conservation)
+        via the flat context: every update is pointwise in depth, so one
+        flat call covers all columns; per-column Ng and convergence
+        freezing are applied on the batched view."""
+        fc = self.flatCtx
+        C = self.Ncol
+        # push the batched Gamma/pops into the flat context
+        fc._Gamma = [_unbatch_leaf(G) for G in self._GammaOut]
+        for ai, st in enumerate(fc.popsState):
+            st['n'] = _unbatch_leaf(self.params['pops'][ai])
+
+        if fc.conserveCharge:
+            neOld = np.asarray(fc.atmos.ne).copy()
+            fc.stat_equil()
+            if self.converged.any():
+                # restore converged columns' ne and dependent state
+                neNew = np.asarray(fc.atmos.ne).reshape(C, -1)
+                neNew[self.converged] = neOld.reshape(C, -1)[self.converged]
+                fc.atmos.ne[:] = neNew.reshape(-1)
+                fc.eqPops.update_lte_atoms_Hmin_pops(fc.atmos,
+                                                     conserveCharge=False)
+                fc.compute_collisions(force=True)
+        else:
+            fc.stat_equil()
+
+        dPops = []
+        frozen = self.converged
+        for ai, st in enumerate(fc.popsState):
+            nNew = np.asarray(st['n']).reshape(
+                st['n'].shape[0], C, self.NkCol)
+            nNew = np.moveaxis(nNew, 1, 0).reshape(C, -1)   # [C, Nl*Nk]
+            _, sol = self.ngs[ai].accelerate(nNew, freeze=frozen)
+            dPops.append(self.ngs[ai].max_change())         # [C]
+            solBat = sol.reshape(C, -1, self.NkCol)
+            self.params['pops'][ai] = jnp.asarray(solBat, self.cfg.dtype)
+            st['n'] = _unbatch_leaf(self.params['pops'][ai])
+
+        # refresh batched views of state the flat update may have changed
+        if fc.conserveCharge:
+            fp = fc.build_params()
+            for key in ('nStar', 'C'):
+                self.params[key] = [
+                    _batch_leaf(x, C, self.NkCol) for x in fp[key]]
+
+        self.dPopsCol = np.max(np.stack(dPops, axis=0), axis=0)    # [C]
+        dPopsMasked = np.where(frozen, 0.0, self.dPopsCol)
+        return IterationUpdate(self, updatedPops=True,
+                               dPops=[float(dPopsMasked.max())])
+
     @property
     def crswDone(self):
         return True
@@ -117,14 +268,43 @@ class ColumnBatch:
     def iterate(self, Nscatter: int = 3, NmaxIter: int = 500,
                 JTol: float = 5e-3, popsTol: float = 1e-3,
                 quiet: bool = True) -> int:
+        """Iterate the batch until every column converges; converged
+        columns are frozen (per-column masking) while the rest finish.
+        Returns the iteration count of the slowest column; per-column
+        counts in ``nIterCol``."""
         for it in range(NmaxIter):
             ju = self.formal_sol_gamma_matrices()
             if it < Nscatter:
                 continue
             pu = self.stat_equil()
-            if not quiet:
-                print(f'-- it {it}: dJ={ju.dJMax:.2e} '
-                      f'dPops={pu.dPopsMax:.2e}')
-            if ju.dJMax < JTol and pu.dPopsMax < popsTol:
-                return it + 1
+            if self.flatCtx is not None:
+                newConv = ((self.dJCol < JTol) & (self.dPopsCol < popsTol)
+                           & ~self.converged)
+                self.nIterCol[newConv] = it + 1
+                self.converged |= newConv
+                if not quiet:
+                    print(f'-- it {it}: dJ={ju.dJMax:.2e} '
+                          f'dPops={pu.dPopsMax:.2e} '
+                          f'converged {int(self.converged.sum())}/{self.Ncol}')
+                if self.converged.all():
+                    return it + 1
+            else:
+                if not quiet:
+                    print(f'-- it {it}: dJ={ju.dJMax:.2e} '
+                          f'dPops={pu.dPopsMax:.2e}')
+                if ju.dJMax < JTol and pu.dPopsMax < popsTol:
+                    return it + 1
         return NmaxIter
+
+    # ------------------------------------------------------------------
+    @property
+    def pops(self) -> List[np.ndarray]:
+        """Per active atom: populations [C, Nlevel, Nk]."""
+        return [np.asarray(p) for p in self.params['pops']]
+
+    @property
+    def ne(self) -> np.ndarray:
+        """Electron density [C, Nk] (updated when conserveCharge)."""
+        if self.flatCtx is None:
+            raise ValueError('per-column ne needs from_stacked batches')
+        return np.asarray(self.flatCtx.atmos.ne).reshape(self.Ncol, -1)

@@ -137,3 +137,131 @@ def test_2d_horizontal_structure():
                             + np.abs(muxArr + muxArr[mostVertical])))
     Ipartner = I[cont, partner]
     assert int(np.argmax(Icont)) != int(np.argmax(Ipartner))
+
+
+class _FixedXBc:
+    """Callable x BC returning a fixed [Nlam, Nmu, 2, Nz] array."""
+
+    def __init__(self, data):
+        self.data = data
+
+    def compute_bc(self, atmos, spect):
+        return self.data
+
+
+def test_2d_nonperiodic_callable_xbc_matches_periodic():
+    """x-invariant slab: feeding the periodic solution's boundary-column
+    intensity through callable x BCs must reproduce the periodic formal
+    solution exactly at every column (the fixed-column chain propagates
+    the same x-invariant values).
+    ref: /root/reference/Source/FormalScalar2d.cpp:496-546"""
+    full = Falc82()
+    idx = np.unique(np.linspace(0, 81, 18).astype(int))
+    Nz = len(idx)
+    Nx = 6
+    x = np.arange(Nx) * 2e5        # narrow columns: slanted coupling
+
+    def bc(a):
+        return np.broadcast_to(a[:, None], (Nz, Nx)).copy()
+
+    def mk(xLowerBc=None, xUpperBc=None):
+        atmos = Atmosphere.make_2d(
+            height=full.height[idx], x=x,
+            temperature=bc(full.temperature[idx]),
+            vx=np.zeros((Nz, Nx)), vz=bc(full.vlos[idx]),
+            vturb=bc(full.vturb[idx]), ne=bc(full.ne[idx]),
+            nHTot=bc(full.nHTot[idx]),
+            xLowerBc=xLowerBc, xUpperBc=xUpperBc)
+        atmos.quadrature(3)
+        rs = _sets()
+        spect = rs.compute_wavelength_grid()
+        eqPops = rs.compute_eq_pops(atmos)
+        return Context(atmos, spect, eqPops,
+                       formalSolver='piecewise_besser_1d')
+
+    ctxP = mk()
+    assert ctxP.cfg.xPeriodic
+    # slanted coupling actually present in this geometry
+    assert any(g['axisZ'].any() for g in ctxP.cfg.geom2d.values())
+    ctxP.depthData.fill = True
+    ctxP.formal_sol_gamma_matrices()
+    IP = np.asarray(ctxP.depthData.I)              # [Nlam, Nmu, 2, Nk]
+    IP5 = IP.reshape(IP.shape[0], IP.shape[1], 2, Nz, Nx)
+    assert np.allclose(IP5[..., 1:], IP5[..., :1], rtol=1e-10)
+
+    bcData = IP5[..., 0]                           # [Nlam, Nmu, 2, Nz]
+    ctxN = mk(xLowerBc=_FixedXBc(bcData), xUpperBc=_FixedXBc(bcData))
+    assert not ctxN.cfg.xPeriodic
+    ctxN.depthData.fill = True
+    ctxN.formal_sol_gamma_matrices()
+    IN = np.asarray(ctxN.depthData.I)
+    assert np.allclose(IN, IP, rtol=1e-9), np.abs(IN / IP - 1).max()
+
+
+@pytest.mark.slow
+def test_2d_f32_converges_with_compensated_split():
+    """2D mixed precision: the compensated IeffBase split in the 2D
+    sweep must let an f32-state context converge to the standard
+    tolerances (plain f32 I - Psi*S cancellation stalls at dJ ~1e-2)."""
+    import jax.numpy as jnp
+
+    full = Falc82()
+    idx = np.unique(np.linspace(0, 81, 20).astype(int))
+    Nz = len(idx)
+    Nx = 4
+    x = np.arange(Nx) * 2e5
+
+    def bc(a):
+        return np.broadcast_to(a[:, None], (Nz, Nx)).copy()
+
+    atmos = Atmosphere.make_2d(
+        height=full.height[idx], x=x,
+        temperature=bc(full.temperature[idx]),
+        vx=np.zeros((Nz, Nx)), vz=bc(full.vlos[idx]),
+        vturb=bc(full.vturb[idx]), ne=bc(full.ne[idx]),
+        nHTot=bc(full.nHTot[idx]))
+    atmos.quadrature(3)
+    rs = _sets()
+    spect = rs.compute_wavelength_grid()
+    eqPops = rs.compute_eq_pops(atmos)
+    ctx = Context(atmos, spect, eqPops, dtype=jnp.float32)
+    for it in range(300):
+        ju = ctx.formal_sol_gamma_matrices()
+        if it < 3:
+            continue
+        pu = ctx.stat_equil()
+        if float(ju.dJMax) < 5e-3 and pu.dPopsMax < 1e-3:
+            break
+    assert it < 299, (float(ju.dJMax), pu.dPopsMax)
+    n = np.asarray(ctx.popsState[0]['n'])
+    assert np.all(np.isfinite(n)) and np.all(n > 0)
+
+
+def test_2d_compute_rays():
+    """compute_rays on a 2D atmosphere: clone onto a new mu set and
+    return emergent [Nlam, Nmu, Nx] (ref LwMiddleLayer.pyx:3898-4003)."""
+    full = Falc82()
+    idx = np.unique(np.linspace(0, 81, 15).astype(int))
+    Nz, Nx = len(idx), 4
+    x = np.arange(Nx) * 2e5
+
+    def bc(a):
+        return np.broadcast_to(a[:, None], (Nz, Nx)).copy()
+
+    atmos = Atmosphere.make_2d(
+        height=full.height[idx], x=x,
+        temperature=bc(full.temperature[idx]), vx=np.zeros((Nz, Nx)),
+        vz=bc(full.vlos[idx]), vturb=bc(full.vturb[idx]),
+        ne=bc(full.ne[idx]), nHTot=bc(full.nHTot[idx]))
+    atmos.quadrature(3)
+    rs = _sets()
+    spect = rs.compute_wavelength_grid()
+    eqPops = rs.compute_eq_pops(atmos)
+    ctx = Context(atmos, spect, eqPops)
+    for it in range(12):
+        ctx.formal_sol_gamma_matrices()
+        if it >= 3:
+            ctx.stat_equil()
+    Iray = ctx.compute_rays(mus=[0.7, 1.0])
+    assert Iray.shape == (ctx.cfg.Nlam, 2, Nx)
+    assert np.all(np.isfinite(Iray)) and np.all(Iray > 0)

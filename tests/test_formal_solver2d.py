@@ -34,7 +34,7 @@ def test_x_uniform_matches_1d():
     geom = build_geometry_2d(x, z, mux, muz, toObs=True)
     assert not geom['axisZ'].any()
     Iupw = jnp.zeros((1, Nx))
-    I2, Psi2 = formal_sol_2d(chi, S, geom, Iupw)
+    I2, Psi2, _ = formal_sol_2d(chi, S, geom, Iupw)
 
     I1, Psi1, _ = formal_sol_1d(jnp.asarray(chi1)[None], jnp.asarray(S1)[None],
                                 jnp.asarray(z), jnp.asarray([muz]),
@@ -59,7 +59,7 @@ def test_constant_slab_analytic(mux, muz):
     S = jnp.full((1, Nz, Nx), S0)
     geom = build_geometry_2d(x, z, mux, muz, toObs=True)
     Iupw = jnp.full((1, Nx), I0)
-    I2, _ = formal_sol_2d(chi, S, geom, Iupw)
+    I2, _, _ = formal_sol_2d(chi, S, geom, Iupw)
     tau = chi0 * (z[-1] - z) / abs(muz)    # from bottom plane, upward
     # careful: toObs sweeps from the bottom (largest index, z smallest)
     tau = chi0 * np.abs(z - z[-1]) / abs(muz)
@@ -78,10 +78,10 @@ def test_periodic_translation_invariance():
     mux, muz = 0.8, 0.4
     geom = build_geometry_2d(x, z, mux, muz, toObs=True)
     Iupw = jnp.zeros((1, Nx))
-    I, _ = formal_sol_2d(jnp.asarray(chi), jnp.asarray(S), geom, Iupw)
+    I, _, _ = formal_sol_2d(jnp.asarray(chi), jnp.asarray(S), geom, Iupw)
 
     shift = 5
-    Ishift, _ = formal_sol_2d(jnp.asarray(np.roll(chi, shift, axis=2)),
+    Ishift, _, _ = formal_sol_2d(jnp.asarray(np.roll(chi, shift, axis=2)),
                               jnp.asarray(np.roll(S, shift, axis=2)),
                               geom, Iupw)
     assert np.allclose(np.asarray(Ishift), np.roll(np.asarray(I), shift,
@@ -96,7 +96,7 @@ def test_downward_sweep():
     chi = jnp.full((1, Nz, Nx), chi0)
     S = jnp.full((1, Nz, Nx), S0)
     geom = build_geometry_2d(x, z, -0.5, -0.6, toObs=False)
-    I, _ = formal_sol_2d(chi, S, geom, jnp.zeros((1, Nx)))
+    I, _, _ = formal_sol_2d(chi, S, geom, jnp.zeros((1, Nx)))
     tau = chi0 * np.abs(z - z[0]) / 0.6
     expected = S0 * (1.0 - np.exp(-tau))
     assert np.allclose(np.asarray(I)[0, :, 3], expected, rtol=1e-10)
@@ -111,7 +111,7 @@ def test_besser_constant_slab_exact(mux, muz):
     chi = jnp.full((1, Nz, Nx), chi0)
     S = jnp.full((1, Nz, Nx), S0)
     geom = build_geometry_2d(x, z, mux, muz, toObs=True)
-    I2, _ = formal_sol_2d(chi, S, geom, jnp.full((1, Nx), I0),
+    I2, _, _ = formal_sol_2d(chi, S, geom, jnp.full((1, Nx), I0),
                           interp='besser')
     tau = chi0 * np.abs(z - z[-1]) / abs(muz)
     expected = S0 + (I0 - S0) * np.exp(-tau)
@@ -136,14 +136,14 @@ def test_besser_beats_linear_on_smooth_gradient():
 
     xF, chiF, SF = fields(NxF)
     geomF = build_geometry_2d(xF, z, mux, muz, toObs=True)
-    IF, _ = formal_sol_2d(chiF, SF, geomF, jnp.zeros((1, NxF)))
+    IF, _, _ = formal_sol_2d(chiF, SF, geomF, jnp.zeros((1, NxF)))
     refTop = np.asarray(IF)[0, 0, ::NxF // NxC]
 
     xC, chiC, SC = fields(NxC)
     geomC = build_geometry_2d(xC, z, mux, muz, toObs=True)
     errs = {}
     for interp in ('linear', 'besser'):
-        IC, _ = formal_sol_2d(chiC, SC, geomC, jnp.zeros((1, NxC)),
+        IC, _, _ = formal_sol_2d(chiC, SC, geomC, jnp.zeros((1, NxC)),
                               interp=interp)
         errs[interp] = np.abs(np.asarray(IC)[0, 0] / refTop - 1.0).max()
     assert errs['besser'] <= errs['linear'] * 1.05, errs

@@ -91,7 +91,10 @@ def test_lyman_alpha_prd_on_falc():
     rs.set_active('H')
     spect = rs.compute_wavelength_grid()
     eqPops = rs.compute_eq_pops(atmos)
-    ctx = Context(atmos, spect, eqPops)
+    # accelerateScattering: without the local scattering operator the
+    # Rayleigh-dominated deep-UV J rows pure-lambda-iterate (the subset
+    # PRD refresh no longer burns extra full-grid iterations on them)
+    ctx = Context(atmos, spect, eqPops, accelerateScattering=True)
     # tight rho sub-iterations: with the lagged default (tol 1e-2, 3 sub
     # iters) the rho<->pops coupling limit-cycles around dPops ~ 2e-3
     nIter = iterate_ctx_se(ctx, prd=True, NmaxIter=300, quiet=True,
@@ -107,3 +110,49 @@ def test_lyman_alpha_prd_on_falc():
     assert np.all(np.isfinite(rho)) and np.all(rho > 0)
     assert np.abs(rho[:, -1] - 1.0).max() < 0.05, 'deep rho should be ~1'
     assert np.abs(rho - 1.0).max() > 0.1, 'chromospheric PRD departure'
+
+
+def test_prd_subset_fs_matches_full_grid():
+    """The PrdOnly subset formal solution (ref PrdTemplates.hpp:19-113)
+    must reproduce the full-grid FS exactly on the subset rows: same
+    J rows and identical PRD-line rates from the same state."""
+    import jax.numpy as jnp
+
+    from lightweaver_tpu.atmosphere import Atmosphere
+    from lightweaver_tpu.atomic_set import RadiativeSet
+    from lightweaver_tpu.context import Context
+    from lightweaver_tpu.fal import Falc82
+    from lightweaver_tpu.rh_atoms import H_6_atom
+
+    full = Falc82()
+    idx = np.unique(np.linspace(0, 81, 20).astype(int))
+    atmos = Atmosphere(height=full.height[idx],
+                       temperature=full.temperature[idx],
+                       vlos=full.vlos[idx], vturb=full.vturb[idx],
+                       ne=full.ne[idx], nHTot=full.nHTot[idx])
+    atmos.quadrature(3)
+    rs = RadiativeSet([H_6_atom()])
+    rs.set_active('H')
+    spect = rs.compute_wavelength_grid()
+    eqPops = rs.compute_eq_pops(atmos)
+    ctx = Context(atmos, spect, eqPops)
+    for it in range(5):
+        ctx.formal_sol_gamma_matrices()
+        if it >= 3:
+            ctx.stat_equil()
+
+    J0 = jnp.array(ctx.J)
+    sub = ctx._prd_subset_idxs()
+    assert len(sub) < ctx.cfg.Nlam          # genuinely a subset
+    ctx._prd_subset_fs()
+    Jsub = np.asarray(ctx.J)[sub]
+    RijSub = [np.asarray(ctx._Rij[ai][ti])
+              for ai, ti, a, t in ctx._prd_lines()]
+
+    ctx.J = J0                              # same J^dagger for the full FS
+    ctx.formal_sol_gamma_matrices()
+    Jfull = np.asarray(ctx.J)[sub]
+    assert np.abs(Jsub / Jfull - 1).max() < 1e-9
+    for li, (ai, ti, a, t) in enumerate(ctx._prd_lines()):
+        RijFull = np.asarray(ctx._Rij[ai][ti])
+        assert np.abs(RijSub[li] / RijFull - 1).max() < 1e-6
