@@ -1041,8 +1041,15 @@ class Context:
         self._Gamma = None
         self._Rij = None
         self._Rji = None
+        self.J20 = None
         self._prd_fs_fn = None
         self._prdSubIdxs = None
+        # persistent per-line Ng accelerators on rho.  The reference
+        # tracks rho with Ng(0,0,0) (ref: PrdTemplates.hpp:205,263);
+        # prdNgOptions opts in to actual extrapolation, which cuts the
+        # number of redistribution sub-iterations on slow PRD problems.
+        self.prdNgOptions = None
+        self._prdNgs = None
         # 'subset' = reference FsMode::PrdOnly semantics (FS cost of a
         # rho sub-iteration scales with the PRD-active fraction of the
         # grid); 'full' re-runs the full-grid MALI step instead.
@@ -1585,12 +1592,21 @@ class Context:
 
     # ------------------------------------------------------------------
     def single_stokes_fs(self, recompute: bool = False, updateJ: bool = False,
-                         upOnly: bool = True):
+                         upOnly: bool = True, J20: bool = False):
         """Polarised (Zeeman) formal solution: emergent Stokes I, Q, U, V
         per (wavelength, mu).  Synthesis only (no Gamma/rates), matching
         the reference's single_stokes_fs.
+
+        J20=True enables the anisotropic-scattering tensor J^2_0
+        (scattering polarisation of the continuum): the background
+        scattering emissivity gains wI(mu)*sca*J20 in Stokes I and
+        wQ(mu)*sca*J20 in Stokes Q, and self.J20 [Nlam, Nk] is
+        re-accumulated from the new I and Q after the solve (lambda
+        iteration: call repeatedly with updateJ=True until J/J20
+        converge).  Weights follow Trujillo Bueno (2001).
         ref: /root/reference/Source/LwMiddleLayer.pyx:3605,
-             /root/reference/Source/FormalStokes.cpp:418-728"""
+             /root/reference/Source/FormalStokes.cpp:418-728
+             (J20: :433-436, 469-486, 575-582, 642-648)"""
         if getattr(self, 'phi7', None) is None or recompute:
             self.compute_polarised_profiles()
         cfg = self.cfg
@@ -1660,6 +1676,22 @@ class Context:
                        ((self.bgEta
                          + self.bgSca * self.J.astype(dt))[:, None, :]
                         / chiI)[:, :, None, :])
+        if J20:
+            # anisotropic scattering source terms from the previous J20
+            # (ref FormalStokes.cpp:483-486, 575-582): the mu-dependent
+            # irreducible-tensor weights feed I and Q emissivity.
+            inv2root2 = 1.0 / (2.0 * np.sqrt(2.0))
+            mu2 = jnp.asarray(cfg.muz, dt) ** 2                  # [Nmu]
+            wJ20_I = inv2root2 * (3.0 * mu2 - 1.0)
+            wJ20_Q = inv2root2 * 3.0 * (mu2 - 1.0)
+            if getattr(self, 'J20', None) is None:
+                self.J20 = jnp.zeros((Nlam, Nk), self.accumDtype)
+            scaJ20 = (self.bgSca * self.J20.astype(dt))          # [Nlam, Nk]
+            etaJ20 = (scaJ20[:, None, :] / chiI)                 # [Nlam,Nmu,Nk]
+            S4 = _slab_add(S4, (0, 0, 0, 0), (Nlam, Nmu, 1, Nk),
+                           (wJ20_I[None, :, None] * etaJ20)[:, :, None, :])
+            S4 = _slab_add(S4, (0, 0, 1, 0), (Nlam, Nmu, 1, Nk),
+                           (wJ20_Q[None, :, None] * etaJ20)[:, :, None, :])
 
         # thermalised lower boundary for Stokes I; Q=U=V=0
         lamGrid = jnp.asarray(cfg.wavelength, dt)
@@ -1690,6 +1722,16 @@ class Context:
             self.J = jnp.einsum('lmk,m->lk',
                                 Ifull[:, :, 0, :].astype(self.accumDtype),
                                 0.5 * jnp.asarray(cfg.wmu, self.accumDtype))
+            if J20:
+                # J20(la,k) = sum_mu wmu [wI I + wQ Q]
+                # (ref FormalStokes.cpp:642-648)
+                acc = self.accumDtype
+                wmu = jnp.asarray(cfg.wmu, acc)
+                self.J20 = (
+                    jnp.einsum('lmk,m->lk', Ifull[:, :, 0, :].astype(acc),
+                               wmu * wJ20_I.astype(acc))
+                    + jnp.einsum('lmk,m->lk', Ifull[:, :, 1, :].astype(acc),
+                                 wmu * wJ20_Q.astype(acc)))
         return IterationUpdate(self, updatedJ=updateJ)
 
     # ------------------------------------------------------------------
@@ -1804,8 +1846,24 @@ class Context:
             raise ValueError('Call formal_sol_gamma_matrices first')
 
         atmos = self.atmos
-        ngs = [Ng(0, 0, 0, np.asarray(self.rhoPrd[ai][ti]).ravel())
-               for ai, ti, a, t in prdLines]
+        if self.prdNgOptions is None:
+            # reference behaviour: fresh tracking-only Ng per call
+            ngs = [Ng(0, 0, 0, np.asarray(self.rhoPrd[ai][ti]).ravel())
+                   for ai, ti, a, t in prdLines]
+        else:
+            # opt-in: persistent per-line accelerators whose history
+            # spans sub-iterations AND outer MALI iterations, so the
+            # extrapolation actually fires on slow PRD problems.
+            o = self.prdNgOptions
+            if (self._prdNgs is None or len(self._prdNgs) != len(prdLines)
+                    or any(ng.init and ng.len != self.rhoPrd[ai][ti].size
+                           for ng, (ai, ti, a, t)
+                           in zip(self._prdNgs, prdLines))):
+                self._prdNgs = [
+                    Ng(o.Norder, o.Nperiod, o.Ndelay,
+                       np.asarray(self.rhoPrd[ai][ti]).ravel())
+                    for ai, ti, a, t in prdLines]
+            ngs = self._prdNgs
 
         dRho = [0.0] * len(prdLines)
         nIter = 0
@@ -1839,9 +1897,12 @@ class Context:
                     jnp.asarray(self.aDamp[ai][ti], self.dtype), Jw,
                     jnp.asarray(gammaPre, self.dtype),
                     jnp.asarray(Jbar, self.dtype))
-                ngs[li].accelerate(np.asarray(rho).ravel())
+                accelerated, rhoFlat = ngs[li].accelerate(
+                    np.asarray(rho).ravel(), trustFactor=2.0)
                 dRho[li] = ngs[li].max_change()
                 dRhoMax = max(dRhoMax, dRho[li])
+                if accelerated:
+                    rho = rhoFlat.reshape(np.asarray(rho).shape)
                 self.rhoPrd[ai][ti] = jnp.asarray(rho, self.dtype)
 
             # refresh J and the PRD lines' rates with the new rho on the

@@ -40,9 +40,15 @@ class Ng:
     def _idx(self, cnt):
         return cnt % (self.Norder + 2)
 
-    def accelerate(self, sol: np.ndarray):
+    def accelerate(self, sol: np.ndarray, trustFactor: float = 0.0):
         """Store sol; every Nperiod steps after Ndelay, extrapolate it in
-        place.  Returns (accelerated: bool, sol)."""
+        place.  Returns (accelerated: bool, sol).
+
+        trustFactor > 1 clips the extrapolated iterate elementwise to
+        [sol/f, sol*f] around the raw iterate (used for positive
+        quantities like PRD rho whose far wings make the unweighted
+        extrapolation wild); the clipped value is what enters the
+        history so subsequent extrapolations stay consistent."""
         sol = np.asarray(sol).ravel().copy()
         if not self.init:
             self.len = sol.shape[0]
@@ -78,9 +84,14 @@ class Ng:
             return False, sol
 
         i0 = self._idx(self.count - 1)
+        raw = sol.copy()
         for i in range(No):
             ip = self._idx(self.count - i - 2)
             sol += coeffs[i] * (self.previous[ip] - self.previous[i0])
+        if trustFactor > 1.0:
+            lo = np.minimum(raw / trustFactor, raw * trustFactor)
+            hi = np.maximum(raw / trustFactor, raw * trustFactor)
+            sol = np.clip(sol, lo, hi)
         self.previous[i0] = sol
         return True, sol
 

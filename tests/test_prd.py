@@ -112,6 +112,60 @@ def test_lyman_alpha_prd_on_falc():
     assert np.abs(rho - 1.0).max() > 0.1, 'chromospheric PRD departure'
 
 
+def test_prd_ng_acceleration_matches_unaccelerated():
+    """Opt-in persistent Ng on rho (prdNgOptions) must fire and land on
+    the same redistributed rho/populations as the reference-default
+    tracking-only path (ref keeps Ng(0,0,0): PrdTemplates.hpp:205,263)."""
+    from lightweaver_tpu.atmosphere import Atmosphere
+    from lightweaver_tpu.atomic_set import RadiativeSet
+    from lightweaver_tpu.context import Context
+    from lightweaver_tpu.fal import Falc82
+    from lightweaver_tpu.ops.ng import NgOptions
+    from lightweaver_tpu.rh_atoms import H_6_atom
+
+    full = Falc82()
+    idx = np.unique(np.linspace(0, 81, 20).astype(int))
+
+    def make_ctx():
+        atmos = Atmosphere(height=full.height[idx],
+                           temperature=full.temperature[idx],
+                           vlos=full.vlos[idx], vturb=full.vturb[idx],
+                           ne=full.ne[idx], nHTot=full.nHTot[idx])
+        atmos.quadrature(3)
+        rs = RadiativeSet([H_6_atom()])
+        rs.set_active('H')
+        spect = rs.compute_wavelength_grid()
+        eqPops = rs.compute_eq_pops(atmos)
+        return Context(atmos, spect, eqPops, accelerateScattering=True)
+
+    def run(ctx):
+        from lightweaver_tpu.iterate_ctx import iterate_ctx_se
+        nIter = iterate_ctx_se(ctx, prd=True, NmaxIter=400, quiet=True,
+                               popsTol=1e-3, maxPrdSubIter=10,
+                               prdIterTol=2e-4)
+        ai, ti, a, t = ctx._prd_lines()[0]
+        return nIter, np.asarray(ctx.rhoPrd[ai][ti]), \
+            np.asarray(ctx.popsState[0]['n'])
+
+    ctxRef = make_ctx()
+    nRef, rhoRef, popsRef = run(ctxRef)
+    assert nRef < 400
+
+    ctxNg = make_ctx()
+    ctxNg.prdNgOptions = NgOptions(Norder=2, Nperiod=2, Ndelay=4)
+    nNg, rhoNg, popsNg = run(ctxNg)
+    assert nNg < 400
+
+    # the accelerator must actually have fired (history spans calls)
+    assert ctxNg._prdNgs is not None
+    assert ctxNg._prdNgs[0].count >= 4
+    # and converge to the same physics (line-core rho where it matters;
+    # the far wings have rho*phi ~ 0 and looser fixpoints)
+    core = np.abs(rhoRef - 1.0) > 1e-3
+    assert np.abs(rhoNg[core] / rhoRef[core] - 1).max() < 5e-2
+    assert np.abs(popsNg / popsRef - 1).max() < 2e-2
+
+
 def test_prd_subset_fs_matches_full_grid():
     """The PrdOnly subset formal solution (ref PrdTemplates.hpp:19-113)
     must reproduce the full-grid FS exactly on the subset rows: same

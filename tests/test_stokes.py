@@ -90,3 +90,52 @@ def test_transverse_field(scalarI):
     assert np.abs(Q).max() > 1e-5 * I[core]
     # chiB = 0: U vanishes (sin 2chi = 0)
     assert np.abs(U).max() < 1e-8 * I.max()
+
+
+@pytest.mark.slow
+def test_j20_scattering_polarisation():
+    """J^2_0 anisotropic-scattering tensor (ref FormalStokes.cpp:418-486):
+    lambda-iterating single_stokes_fs(J20=True, updateJ=True) must
+    converge, leave J20/J ~ 0 deep in the atmosphere (isotropic
+    radiation), give J20 > 0 at the surface (outward-peaked field), and
+    imprint a Q signal absent without J20."""
+    ctx = _ctx(B=1e-4, gammaB=0.3, chiB=0.2, nDepth=25)
+
+    ctx.single_stokes_fs(updateJ=False)
+    Quv0 = np.asarray(ctx.Quv).copy()
+
+    changes = []
+    prev = None
+    for _ in range(8):
+        ctx.single_stokes_fs(updateJ=True, J20=True)
+        cur = np.asarray(ctx.J20)
+        if prev is not None:
+            denom = np.abs(cur).max()
+            changes.append(np.abs(cur - prev).max() / denom)
+        prev = cur
+    assert np.all(np.isfinite(cur))
+    # lambda iteration on the scattering term contracts
+    assert changes[-1] < changes[0]
+    assert changes[-1] < 1e-2, changes
+
+    J = np.asarray(ctx.J)
+    ratio = np.abs(cur) / np.maximum(np.abs(J), 1e-300)
+    # continuum rows: far more anisotropy at the surface than at depth
+    assert np.median(ratio[:, 0]) > 10 * np.median(ratio[:, -1])
+    # outward-peaked continuum field: J20 > 0 at the surface away from
+    # the line cores (strong-line cores can legitimately flip sign;
+    # the Ca II H&K cores here do).  Check the strongest-signal row and
+    # the significant-row majority.
+    s = cur[:, 0]
+    assert s[np.argmax(np.abs(s))] > 0
+    sig = np.abs(s) > 1e-3 * np.abs(s).max()
+    assert sig.any()
+    assert (s[sig] > 0).mean() > 0.7
+
+    # the scattering term sources additional linear polarisation; only a
+    # tiny fraction leaks into V (magneto-optical rotation of the added
+    # Q through the 4x4 propagation matrix)
+    Quv1 = np.asarray(ctx.Quv)
+    dQ = np.abs(Quv1[0] - Quv0[0]).max()
+    assert dQ > 0
+    assert np.abs(Quv1[2] - Quv0[2]).max() < 1e-2 * dQ
