@@ -326,8 +326,10 @@ class ExplicitContinuum(AtomicContinuum):
                 [self.alphaGrid, [self.alphaGrid[-1]]])
 
     def alpha(self, wavelength: np.ndarray) -> np.ndarray:
-        alpha = np.interp(wavelength, self.wavelengthGrid, self.alphaGrid,
-                          left=0.0, right=0.0)
+        from .ops.weno import weno4
+        alpha = weno4(wavelength, self.wavelengthGrid, self.alphaGrid,
+                      left=0.0, right=0.0)
+        alpha = np.atleast_1d(alpha)
         alpha[wavelength < self.minLambda] = 0.0
         alpha[wavelength > self.lambdaEdge] = 0.0
         return np.maximum(alpha, 0.0)

@@ -54,7 +54,9 @@ def benchmark(Niter: int = 20, writeConfig: bool = False,
     variants = [
         ('scan', 'f64', None),
         ('parallel', 'f64', None),
+        ('blocked', 'f64', None),
         ('scan', 'mixed', jnp.float32),
+        ('blocked', 'mixed', jnp.float32),
     ]
     results = {}
     for mode, prec, dtype in variants:

@@ -217,6 +217,34 @@ class VdwBarklem(LineBroadener):
 
 
 @dataclass
+class VdwRidderRensbergen(LineBroadener):
+    """Parametrised van der Waals broadening of de Ridder & van Rensbergen
+    (1976, A&AS 23, 147): directly fitted per-line power laws
+
+        Gamma = alphaH * 1e-8 cm^3/s * T^betaH * nH(ground)
+              + alphaHe * 1e-8 cm^3/s * T^betaHe * nHe
+
+    vals = (alphaH, betaH, alphaHe, betaHe), alphas in the RH 'PARAMTR'
+    convention of 1e-8 cm^3 s^-1 (= 1e-14 m^3 s^-1).  The reference's
+    converter accepts this vdW treatment (ConvertAtom.py:190-191) but
+    its runtime lacks the broadener; we support it end-to-end."""
+    vals: Sequence[float]
+
+    def setup(self, line):
+        if len(self.vals) != 4:
+            raise ValueError('VdwRidderRensbergen expects 4 coefficients')
+        self.line = line
+
+    def broaden(self, atmos, eqPops):
+        aH, bH, aHe, bHe = self.vals
+        heAbund = eqPops.abundance[PeriodicTable.element(2)]
+        nHGround = eqPops['H'][0, :]
+        nHe = heAbund * atmos.nHTot
+        T = atmos.temperature
+        return 1e-14 * (aH * T ** bH * nHGround + aHe * T ** bHe * nHe)
+
+
+@dataclass
 class QuadraticStarkBroadening(LineBroadener):
     """Lindholm-theory quadratic Stark broadening by electrons and singly
     charged ions (C4 from Traving 1960, as in RH).

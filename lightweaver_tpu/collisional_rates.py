@@ -6,9 +6,8 @@ per-iteration on host (they only depend on T, ne, nStar which change
 rarely), mirrored from the reference
 (ref: /root/reference/lightweaver/collisional_rates.py).
 
-Temperature interpolation currently uses linear interpolation on the
-tabulated grid (the reference uses WENO-4; the difference is small on the
-smooth tabulations used by model atoms and can be upgraded transparently).
+Temperature interpolation uses WENO-4 on the tabulated grid like the
+reference (ref: collisional_rates.py:83), clamped non-negative.
 """
 from dataclasses import dataclass, field
 from typing import Sequence
@@ -17,10 +16,14 @@ import numpy as np
 from scipy.special import exp1
 
 from . import constants as Const
+from .ops.weno import weno4
 
 
 def interp_rates(T, Tgrid, rates):
-    C = np.interp(T, Tgrid, rates)
+    Tgrid = np.asarray(Tgrid, dtype=np.float64)
+    if Tgrid.shape[0] < 2 or np.any(np.diff(Tgrid) <= 0):
+        raise ValueError('Collision temperature grid must be increasing')
+    C = weno4(T, Tgrid, rates)
     return np.maximum(C, 0.0)
 
 

@@ -183,6 +183,58 @@ def _affine_solve(A, b, mode='scan'):
             return ax * ay, ay * bx + by
         Ac, bc = jax.lax.associative_scan(compose, (A, b), axis=-1)
         return bc
+    elif mode == 'blocked':
+        # Two-level (Blelloch-style) scan: split depth into B blocks of
+        # L; compose each block's affine maps in parallel across blocks
+        # (sequential in L), chain the B block totals, then re-solve
+        # each block from its start value.  Sequential latency drops
+        # from N to 2L + B (~3 sqrt N) at ~5 streamed passes over the
+        # coefficients — an order of magnitude less HBM traffic than
+        # associative_scan's ~4 log2(N) passes.
+        N = A.shape[-1]
+        L = max(8, int(round(N ** 0.5)))
+        B = -(-N // L)
+        padN = B * L - N
+        if padN:
+            padW = [(0, 0)] * (A.ndim - 1) + [(0, padN)]
+            A = jnp.pad(A, padW, constant_values=1.0)   # identity maps
+            b = jnp.pad(b, padW)
+        blkShape = A.shape[:-1] + (B, L)
+        # scan axis leading: [L, ..., B]
+        A_t = jnp.moveaxis(A.reshape(blkShape), -1, 0)
+        b_t = jnp.moveaxis(b.reshape(blkShape), -1, 0)
+
+        def compose_step(c, t):
+            Ac, Bc = c
+            a, bb = t
+            return (a * Ac, a * Bc + bb), None
+
+        ones = jnp.ones_like(A_t[0])
+        (Atot, Btot), _ = jax.lax.scan(compose_step,
+                                       (ones, jnp.zeros_like(ones)),
+                                       (A_t, b_t))           # [..., B]
+
+        def chain_step(J, t):
+            a, bb = t
+            J = a * J + bb
+            return J, J
+
+        At_b = jnp.moveaxis(Atot, -1, 0)                      # [B, ...]
+        Bt_b = jnp.moveaxis(Btot, -1, 0)
+        _, Jend = jax.lax.scan(chain_step, jnp.zeros_like(At_b[0]),
+                               (At_b, Bt_b))                  # [B, ...]
+        Jstart = jnp.concatenate([jnp.zeros_like(Jend[:1]), Jend[:-1]],
+                                 axis=0)                      # [B, ...]
+        Jstart = jnp.moveaxis(Jstart, 0, -1)                  # [..., B]
+
+        def solve_step(Iprev, t):
+            a, bb = t
+            I = a * Iprev + bb
+            return I, I
+
+        _, I_t = jax.lax.scan(solve_step, Jstart, (A_t, b_t))  # [L, ..., B]
+        I = jnp.moveaxis(I_t, 0, -1).reshape(A.shape[:-1] + (B * L,))
+        return I[..., :N]
     else:
         raise ValueError(f'Unknown recurrence mode {mode}')
 

@@ -8,9 +8,13 @@ from published data:
 - level energies / statistical weights: NIST ASD
 - oscillator strengths: NIST ASD
 - natural broadening: sum of Einstein A coefficients out of the upper level
-- collisional rates: van Regemorter (permitted), constant effective
-  collision strengths (forbidden; magnitudes from Melendez et al. 2007 for
-  Ca II), Seaton (ionisation)
+- collisional rates: H carries Johnson (1972); the Ca II / Mg II
+  flagships carry tabulated effective collision strengths and ionisation
+  coefficients on the canonical RH temperature grid (see the provenance
+  note in CaII_atom); the remaining species use van Regemorter
+  (permitted) / Seaton (ionisation) formulas at run time.  Atoms with
+  production-grade rate data can be loaded from standard RH atom files
+  via rh_format.parse_rh_atom.
 - photoionisation: hydrogenic cross-sections with Seaton Gaunt factors
 
 These reproduce the standard 6-level H and Ca II NLTE problems; rate data
@@ -28,7 +32,7 @@ from .broadening import (BarklemCrossSectionError,
                          HydrogenLinearStarkBroadening, LineBroadening,
                          QuadraticStarkBroadening, RadiativeBroadening,
                          VdwBarklem, VdwUnsold)
-from .collisional_rates import (JohnsonCE, JohnsonCI, Omega, SeatonCI,
+from .collisional_rates import (CI, JohnsonCE, JohnsonCI, Omega, SeatonCI,
                                 VanRegemorter)
 
 
@@ -163,23 +167,41 @@ def CaII_atom() -> AtomicModel:
             j=5, i=i, NlambdaGen=20,
             alpha0=_hyd_alpha0(nEff, Z, edge_i),
             minWavelength=edge_i / 3.0))
-    # Effective collision strengths for forbidden transitions
-    # (magnitudes after Melendez et al. 2007); permitted via van Regemorter.
+    # Tabulated effective collision strengths / ionisation coefficients
+    # on the canonical RH temperature grid (interpolated in T at run
+    # time, like the reference's converted RH atoms).  Provenance:
+    # forbidden pairs anchored to the magnitudes of Melendez, Bautista &
+    # Badnell (2007, A&A 469, 1203); permitted pairs and ionisation
+    # semi-empirical (van Regemorter 1962 with the ionic Gaunt factor;
+    # Seaton 1962 from the photoionisation threshold), pre-evaluated on
+    # the grid.  Production-grade R-matrix data can be substituted via
+    # rh_format.parse_rh_atom without touching this module.
     Tgrid = [3000.0, 5000.0, 10000.0, 20000.0, 50000.0, 100000.0]
     collisions = [
+        # forbidden
         Omega(j=1, i=0, temperature=Tgrid, rates=[2.4] * 6),
         Omega(j=2, i=0, temperature=Tgrid, rates=[3.7] * 6),
         Omega(j=2, i=1, temperature=Tgrid, rates=[6.0] * 6),
         Omega(j=3, i=2, temperature=Tgrid, rates=[4.0] * 6),
+        Omega(j=4, i=3, temperature=Tgrid, rates=[2.4] * 6),
+        # permitted
+        Omega(j=3, i=0, temperature=Tgrid,
+              rates=[8.337, 8.337, 8.337, 8.337, 8.471, 12.725]),
+        Omega(j=4, i=0, temperature=Tgrid,
+              rates=[17.079, 17.079, 17.079, 17.079, 17.256, 25.943]),
+        Omega(j=3, i=1, temperature=Tgrid,
+              rates=[6.573, 6.573, 6.573, 6.573, 10.514, 14.754]),
+        Omega(j=4, i=1, temperature=Tgrid,
+              rates=[1.298, 1.298, 1.298, 1.298, 2.056, 2.889]),
+        Omega(j=4, i=2, temperature=Tgrid,
+              rates=[11.779, 11.779, 11.779, 11.779, 18.701, 26.272]),
+        # ionisation [s^-1 K^-1/2 m^3]
+        CI(j=5, i=0, temperature=Tgrid, rates=[8.362e-17] * 6),
+        CI(j=5, i=1, temperature=Tgrid, rates=[1.062e-16] * 6),
+        CI(j=5, i=2, temperature=Tgrid, rates=[1.063e-16] * 6),
+        CI(j=5, i=3, temperature=Tgrid, rates=[1.342e-16] * 6),
+        CI(j=5, i=4, temperature=Tgrid, rates=[1.349e-16] * 6),
     ]
-    for (i, j, f, *_r) in ln:
-        collisions.append(VanRegemorter(j=j, i=i, f=f))
-    for i in range(5):
-        dE = (lv[5][0] - lv[i][0]) * Const.HC / Const.CM_TO_M
-        nEff = 2 * np.sqrt(Const.ERydberg / dE)
-        edge_i = _lambda0_nm(lv_eg, i, 5)
-        collisions.append(SeatonCI(j=5, i=i,
-                                   alpha0=_hyd_alpha0(nEff, 2, edge_i)))
     return AtomicModel(element=PeriodicTable.element('Ca'), levels=levels,
                        lines=lines, continua=continua, collisions=collisions)
 
@@ -255,11 +277,28 @@ def MgII_atom() -> AtomicModel:
         continua.append(HydrogenicContinuum(
             j=5, i=i, NlambdaGen=20, alpha0=alpha0,
             minWavelength=edge_i / 3.0))
-        collisions.append(SeatonCI(j=5, i=i, alpha0=alpha0))
-    for (i, j, f, *_r) in ln:
-        collisions.append(VanRegemorter(j=j, i=i, f=f))
+    # tabulated on the canonical grid; same provenance note as CaII_atom
     Tgrid = [3000.0, 5000.0, 10000.0, 20000.0, 50000.0, 100000.0]
-    collisions.append(Omega(j=2, i=1, temperature=Tgrid, rates=[6.0] * 6))
+    collisions += [
+        Omega(j=1, i=0, temperature=Tgrid,
+              rates=[5.406, 5.406, 5.406, 5.406, 5.406, 6.781]),
+        Omega(j=2, i=0, temperature=Tgrid,
+              rates=[10.820, 10.820, 10.820, 10.820, 10.820, 13.552]),
+        Omega(j=2, i=1, temperature=Tgrid, rates=[6.0] * 6),
+        Omega(j=3, i=1, temperature=Tgrid,
+              rates=[2.498, 2.498, 2.498, 2.498, 2.498, 3.215]),
+        Omega(j=3, i=2, temperature=Tgrid,
+              rates=[5.010, 5.010, 5.010, 5.010, 5.010, 6.458]),
+        Omega(j=4, i=1, temperature=Tgrid,
+              rates=[11.016, 11.016, 11.016, 11.016, 11.016, 13.783]),
+        Omega(j=4, i=2, temperature=Tgrid,
+              rates=[20.663, 20.663, 20.663, 20.663, 20.663, 25.892]),
+        CI(j=5, i=0, temperature=Tgrid, rates=[5.789e-17] * 6),
+        CI(j=5, i=1, temperature=Tgrid, rates=[9.951e-17] * 6),
+        CI(j=5, i=2, temperature=Tgrid, rates=[9.967e-17] * 6),
+        CI(j=5, i=3, temperature=Tgrid, rates=[2.184e-16] * 6),
+        CI(j=5, i=4, temperature=Tgrid, rates=[2.299e-16] * 6),
+    ]
     return AtomicModel(element=PeriodicTable.element('Mg'), levels=levels,
                        lines=lines, continua=continua, collisions=collisions)
 

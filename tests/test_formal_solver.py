@@ -104,14 +104,15 @@ def test_optically_thick_saturates_to_S(method):
     np.testing.assert_allclose(float(Psi[0, N // 2]), 1.0, rtol=1e-2)
 
 
+@pytest.mark.parametrize('mode', ['parallel', 'blocked'])
 @pytest.mark.parametrize('method', SOLVER_NAMES_1D)
-def test_parallel_recurrence_matches_scan(method):
+def test_parallel_recurrence_matches_scan(method, mode):
     chi, S, height, muz, I0 = make_problem(N=97, B=4, seed=3)
     args = (jnp.asarray(chi), jnp.asarray(S), jnp.asarray(height),
             jnp.asarray(muz), jnp.asarray(I0))
     I_a, Psi_a, _ = formal_sol_1d(*args, to_obs=True, method=method, mode='scan')
     I_b, Psi_b, _ = formal_sol_1d(*args, to_obs=True, method=method,
-                               mode='parallel')
+                               mode=mode)
     np.testing.assert_allclose(np.asarray(I_a), np.asarray(I_b), rtol=1e-10)
 
 
