@@ -39,10 +39,12 @@ struct TransHolder
     NpyArray aDamp;        // lines
     NpyArray alpha;        // continua
     NpyArray activeMask;   // i8 [Nspect]
+    NpyArray qelast;       // PRD lines: elastic collision rate [Nspace]
     std::vector<double> phi;   // [Nlt, Nrays, 2, Nspace]
     std::vector<double> wphi;  // [Nspace]
     std::vector<double> Qelast;
     std::vector<double> Rij, Rji;
+    std::vector<double> rhoPrd;  // PRD lines [Nlt, Nspace]
 };
 
 struct AtomHolder
@@ -86,7 +88,9 @@ int main(int argc, char** argv)
     }
     int Nspace = 0, Nrays = 0, Nspect = 0, Ndim = 1;
     int Nscatter = 3, maxIter = 500, Natoms = 0;
-    double JTol = 5e-3, popsTol = 1e-3;
+    int prdSubIter = 3;
+    int stokesMode = 0;
+    double JTol = 5e-3, popsTol = 1e-3, prdTol = 1e-2;
     std::string zLower = "THERMALISED", zUpper = "ZERO";
     std::string solverName = "piecewise_bezier3_1d";
     struct TransSpec
@@ -94,6 +98,7 @@ int main(int argc, char** argv)
         std::string type;
         int i, j, Nblue, Nred;
         double Aji, Bji, Bij, lambda0;
+        bool prd = false;
     };
     struct AtomSpec
     {
@@ -113,6 +118,9 @@ int main(int argc, char** argv)
         else if (key == "maxIter") mf >> maxIter;
         else if (key == "JTol") mf >> JTol;
         else if (key == "popsTol") mf >> popsTol;
+        else if (key == "prdSubIter") mf >> prdSubIter;
+        else if (key == "prdTol") mf >> prdTol;
+        else if (key == "stokes") mf >> stokesMode;
         else if (key == "zLowerBc") mf >> zLower;
         else if (key == "zUpperBc") mf >> zUpper;
         else if (key == "formalSolver") mf >> solverName;
@@ -131,6 +139,10 @@ int main(int argc, char** argv)
             TransSpec t;
             mf >> t.type >> t.i >> t.j >> t.Aji >> t.Bji >> t.Bij >> t.lambda0
                >> t.Nblue >> t.Nred;
+            // optional trailing flags on the same line (e.g. "prd")
+            std::string rest;
+            std::getline(mf, rest);
+            t.prd = rest.find("prd") != std::string::npos;
             for (auto& slot : a.trans)
             {
                 if (slot.type.empty())
@@ -148,6 +160,7 @@ int main(int argc, char** argv)
     }
 
     // ---- Atmosphere --------------------------------------------------------
+    // (magnetic field arrays loaded below when stokes mode is on)
     NpyArray z = npyio::load(ipath("z.npy"));
     NpyArray temperature = npyio::load(ipath("temperature.npy"));
     NpyArray ne = npyio::load(ipath("ne.npy"));
@@ -192,6 +205,26 @@ int main(int argc, char** argv)
     atmos.xUpperBc = AtmosphericBoundaryCondition();
     atmos.yLowerBc = AtmosphericBoundaryCondition();
     atmos.yUpperBc = AtmosphericBoundaryCondition();
+
+    NpyArray Bmag, gammaB, chiB;
+    std::vector<double> cosGammaBuf, cos2chiBuf, sin2chiBuf;
+    if (stokesMode)
+    {
+        // magnetic field + per-ray projections for the full-Stokes
+        // synthesis (ref: Atmosphere.cpp:47-83, LwMiddleLayer.pyx:700-710)
+        Bmag = npyio::load(ipath("B.npy"));
+        gammaB = npyio::load(ipath("gammaB.npy"));
+        chiB = npyio::load(ipath("chiB.npy"));
+        atmos.B = F64View(Bmag.f64.data(), Nspace);
+        atmos.gammaB = F64View(gammaB.f64.data(), Nspace);
+        atmos.chiB = F64View(chiB.f64.data(), Nspace);
+        cosGammaBuf.assign((size_t)Nrays * Nspace, 0.0);
+        cos2chiBuf.assign((size_t)Nrays * Nspace, 0.0);
+        sin2chiBuf.assign((size_t)Nrays * Nspace, 0.0);
+        atmos.cosGamma = F64View2D(cosGammaBuf.data(), Nrays, Nspace);
+        atmos.cos2chi = F64View2D(cos2chiBuf.data(), Nrays, Nspace);
+        atmos.sin2chi = F64View2D(sin2chiBuf.data(), Nrays, Nspace);
+    }
 
     atmos.update_projections();
     build_intersection_list(&atmos);
@@ -284,6 +317,16 @@ int main(int argc, char** argv)
                 th->wphi.assign(Nspace, 0.0);
                 t.phi = F64View4D(th->phi.data(), Nlt, Nrays, 2, Nspace);
                 t.wphi = F64View(th->wphi.data(), Nspace);
+                if (ts.prd)
+                {
+                    // PRD line: elastic rate + emission-profile ratio rho
+                    // (ref PRD loop: PrdTemplates.hpp:176-330)
+                    th->qelast = npyio::load(ipath(tpre + "qelast.npy"));
+                    std::copy(th->qelast.f64.begin(), th->qelast.f64.end(),
+                              th->Qelast.begin());
+                    th->rhoPrd.assign((size_t)Nlt * Nspace, 1.0);
+                    t.rhoPrd = F64View2D(th->rhoPrd.data(), Nlt, Nspace);
+                }
             }
             else
             {
@@ -461,6 +504,13 @@ int main(int argc, char** argv)
         }
         dPopsHist.push_back(dPopsMax);
 
+        bool havePrd = false;
+        for (auto& holder : atoms)
+            for (auto* th : holder->trans)
+                havePrd = havePrd || (bool)th->trans.rhoPrd;
+        if (havePrd)
+            redistribute_prd_lines(ctx, prdSubIter, prdTol);
+
         if (fsResult.dJMax < JTol && dPopsMax < popsTol)
         {
             itConverged = it;
@@ -482,8 +532,95 @@ int main(int argc, char** argv)
             std::string tag = "a" + std::to_string(ia) + "t" + std::to_string(it);
             npyio::save(opath("out_Rij_" + tag + ".npy"), holder->trans[it]->Rij.data(), {Nspace});
             npyio::save(opath("out_Rji_" + tag + ".npy"), holder->trans[it]->Rji.data(), {Nspace});
+            auto* th = holder->trans[it];
+            if ((bool)th->trans.rhoPrd)
+            {
+                int Nlt = (int)th->wavelength.shape[0];
+                npyio::save(opath("out_rho_" + tag + ".npy"),
+                            th->rhoPrd.data(), {Nlt, Nspace});
+            }
         }
     }
+    // ---- Full-Stokes synthesis on the converged state (config 4) -----------
+    if (stokesMode)
+    {
+        std::vector<double> QuvBuf((size_t)3 * Nspect * Nrays * 1, 0.0);
+        spect.Quv = F64View4D(QuvBuf.data(), 3, Nspect, Nrays, 1);
+
+        struct PolBufs
+        {
+            std::vector<double> phiQ, phiU, phiV, psiQ, psiU, psiV;
+            std::vector<int32_t> alpha;
+            NpyArray shift, strength;
+        };
+        std::vector<std::unique_ptr<PolBufs>> polStore;
+
+        for (int ia = 0; ia < Natoms; ++ia)
+        {
+            auto& holder = atoms[ia];
+            for (int it = 0; it < (int)holder->trans.size(); ++it)
+            {
+                Transition& t = holder->trans[it]->trans;
+                if (t.type != TransitionType::LINE)
+                    continue;
+                std::string tpre = "atom" + std::to_string(ia) + "_trans"
+                                   + std::to_string(it) + "_";
+                NpyArray zAlpha;
+                try
+                {
+                    zAlpha = npyio::load(ipath(tpre + "zeeman_alpha.npy"));
+                }
+                catch (const std::exception&)
+                {
+                    continue;       // line not polarisable / not exported
+                }
+                auto pb = std::make_unique<PolBufs>();
+                pb->shift = npyio::load(ipath(tpre + "zeeman_shift.npy"));
+                pb->strength = npyio::load(ipath(tpre + "zeeman_strength.npy"));
+                int Ncomp = (int)zAlpha.shape[0];
+                pb->alpha.resize(Ncomp);
+                for (int c = 0; c < Ncomp; ++c)
+                    pb->alpha[c] = (int32_t)zAlpha.f64[c];
+
+                int Nlt = (int)t.wavelength.shape(0);
+                size_t n = (size_t)Nlt * Nrays * 2 * Nspace;
+                pb->phiQ.assign(n, 0.0);
+                pb->phiU.assign(n, 0.0);
+                pb->phiV.assign(n, 0.0);
+                pb->psiQ.assign(n, 0.0);
+                pb->psiU.assign(n, 0.0);
+                pb->psiV.assign(n, 0.0);
+                t.phiQ = F64View4D(pb->phiQ.data(), Nlt, Nrays, 2, Nspace);
+                t.phiU = F64View4D(pb->phiU.data(), Nlt, Nrays, 2, Nspace);
+                t.phiV = F64View4D(pb->phiV.data(), Nlt, Nrays, 2, Nspace);
+                t.psiQ = F64View4D(pb->psiQ.data(), Nlt, Nrays, 2, Nspace);
+                t.psiU = F64View4D(pb->psiU.data(), Nlt, Nrays, 2, Nspace);
+                t.psiV = F64View4D(pb->psiV.data(), Nlt, Nrays, 2, Nspace);
+                t.polarised = true;
+
+                ZeemanComponents zc;
+                zc.alpha = I32View(pb->alpha.data(), Ncomp);
+                zc.shift = F64View(pb->shift.f64.data(), Ncomp);
+                zc.strength = F64View(pb->strength.f64.data(), Ncomp);
+                // ref: FormalStokes.cpp:9-80 (polarised Voigt-Faraday
+                // profiles), driven as LwMiddleLayer.pyx:2004-2053 does
+                t.compute_polarised_profiles(atmos, t.aDamp,
+                                             holder->atom.vBroad, zc);
+                polStore.push_back(std::move(pb));
+            }
+        }
+
+        // updateJ=true: with updateJ=false the reference's stokes_fs_core
+        // never binds JDag (FormalStokes.cpp:429-439), so S(0) silently
+        // drops the coherent-scattering term sca*J -- with updateJ=true
+        // JDag copies J row-by-row before the update (like the scalar
+        // core, SimdFullIterationTemplates.hpp:284) and both sides
+        // compute the same physics.
+        formal_sol_full_stokes_impl(ctx, true, true, ExtraParams{});
+        npyio::save(opath("out_I_stokes.npy"), Ibuf.data(), {Nspect, Nrays});
+        npyio::save(opath("out_Quv.npy"), QuvBuf.data(), {3, Nspect, Nrays});
+    }
+
     double nIter = (double)(itConverged >= 0 ? itConverged + 1 : -1);
     npyio::save(opath("out_niter.npy"), &nIter, {1});
     npyio::save(opath("out_dJ_hist.npy"), dJHist.data(), {(int64_t)dJHist.size()});

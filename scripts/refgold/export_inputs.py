@@ -7,7 +7,9 @@ difference isolates the radiative-transfer core: profiles, uv, formal solve,
 Gamma accumulation, and statistical equilibrium.
 
 Run: JAX_PLATFORMS=cpu python scripts/refgold/export_inputs.py <outdir> [config]
-Configs: falc_h6ca (default; H_6 + Ca II both active, 5 rays, bezier3).
+Configs: falc_h6ca (default; H_6 + Ca II both active, 5 rays, bezier3);
+falc_h6mg_prd (H_6 + Mg II active with Ly-alpha/beta and h&k in PRD --
+BASELINE config 3); bench500 (the bench.py timing problem).
 """
 import os
 import sys
@@ -43,6 +45,19 @@ def build_ctx(config: str):
     elif config == 'falc_ca':
         rs = RadiativeSet([H_6_atom(), CaII_atom()])
         rs.set_active('Ca')
+    elif config == 'falc_h6mg_prd':
+        from lightweaver_tpu.rh_atoms import MgII_atom
+        rs = RadiativeSet([H_6_atom(), MgII_atom()])
+        rs.set_active('H', 'Mg')
+    elif config == 'falc_h6ca_stokes':
+        # BASELINE config 4: Zeeman-polarised Ca II in a magnetised FAL-C
+        # (uniform 0.1 T field inclined 60 deg, azimuth 30 deg)
+        Nk = atmos.Nspace
+        atmos.B = np.full(Nk, 0.1)
+        atmos.gammaB = np.full(Nk, np.pi / 3)
+        atmos.chiB = np.full(Nk, np.pi / 6)
+        rs = RadiativeSet([H_6_atom(), CaII_atom()])
+        rs.set_active('H', 'Ca')
     else:
         raise ValueError(f'unknown config {config}')
     spect = rs.compute_wavelength_grid()
@@ -51,7 +66,12 @@ def build_ctx(config: str):
     return ctx
 
 
-def export(ctx, outdir):
+def export(ctx, outdir, prd=False, stokes=False):
+    """prd=True marks PRD lines in the manifest (and exports their elastic
+    rates) so the driver runs redistribute_prd_lines; older CRD configs
+    (falc_h6ca) keep PRD-typed lines in CRD on both sides.  stokes=True
+    exports the magnetic field + per-line Zeeman component tables and
+    makes the driver run formal_sol_full_stokes on the converged state."""
     os.makedirs(outdir, exist_ok=True)
 
     def save(name, arr):
@@ -74,6 +94,10 @@ def export(ctx, outdir):
     save('bg_chi', ctx.bgChi)
     save('bg_eta', ctx.bgEta)
     save('bg_sca', ctx.bgSca)
+    if stokes:
+        save('B', atmos.B)
+        save('gammaB', atmos.gammaB)
+        save('chiB', atmos.chiB)
 
     # basic_background inputs (reference C++ part: H-, H ff, H2, OH/CH,
     # Thomson; /root/reference/Source/Background.cpp:1264).
@@ -98,6 +122,10 @@ def export(ctx, outdir):
     lines.append('maxIter 500')
     lines.append('JTol 5e-3')
     lines.append('popsTol 1e-3')
+    lines.append('prdSubIter 3')
+    lines.append('prdTol 1e-2')
+    if stokes:
+        lines.append('stokes 1')
     lines.append(f'Natoms {len(ctx.activeAtoms)}')
 
     for ia, a in enumerate(ctx.activeAtoms):
@@ -121,8 +149,24 @@ def export(ctx, outdir):
             if t.isLine:
                 save(tpre + 'adamp', ctx.aDamp[ia][it])
                 typ = 'LINE'
+                flags = ''
+                if prd and t.isPrd:
+                    # PRD needs the elastic collision rate for Pj + Qj
+                    # (ref: Prd.cpp:9-30) -- exported so both sides share it
+                    save(tpre + 'qelast', ctx.Qelast[ia][it])
+                    flags = ' prd'
+                if stokes:
+                    line = a.model.lines[
+                        [li for li, l in enumerate(a.model.lines)
+                         if l.i == t.i and l.j == t.j][0]]
+                    z = line.zeeman_components()
+                    if z is not None:
+                        save(tpre + 'zeeman_alpha', z.alpha)
+                        save(tpre + 'zeeman_shift', z.shift)
+                        save(tpre + 'zeeman_strength', z.strength)
                 lines.append(f'trans {typ} {t.i} {t.j} {t.Aji!r} {t.Bji!r} '
-                             f'{t.Bij!r} {t.lambda0!r} {t.Nblue} {t.Nred}')
+                             f'{t.Bij!r} {t.lambda0!r} {t.Nblue} {t.Nred}'
+                             f'{flags}')
             else:
                 save(tpre + 'alpha', t.alpha)
                 typ = 'CONTINUUM'
@@ -139,4 +183,5 @@ if __name__ == '__main__':
     outdir = sys.argv[1] if len(sys.argv) > 1 else 'scripts/refgold/inputs'
     config = sys.argv[2] if len(sys.argv) > 2 else 'falc_h6ca'
     ctx = build_ctx(config)
-    export(ctx, outdir)
+    export(ctx, outdir, prd=config.endswith('_prd'),
+           stokes=config.endswith('_stokes'))

@@ -1,0 +1,98 @@
+"""Stage-level timing of the MALI iteration on the current default device.
+
+Times, on the bench.py problem (FAL-C 500 depths, H6+CaII, 5 rays,
+Nlam=1046): the gather stage, gather+formal-solve, the lambda-iteration
+(no Gamma/rates), and the full iteration -- for several precision
+configurations. Prints one JSON line per measurement so the hot stage
+and the cost of f64-emulated accumulation are measurable rather than
+guessed.
+
+Run detached (TPU remote compile is slow):
+  nohup python scripts/tpu_breakdown.py > /tmp/breakdown.log 2>&1 &
+"""
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+
+from bench import build_ctx
+
+
+def timeit(fn, *args, warmup=2, reps=10):
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / reps
+
+
+def report(name, ms):
+    print(json.dumps({'stage': name, 'ms': round(ms, 3)}), flush=True)
+
+
+def prepared_ctx(**ctxKwargs):
+    ctx = build_ctx(**ctxKwargs)
+    ctx.formal_sol_gamma_matrices()      # populates _params / _iter_fn
+    return ctx
+
+
+def breakdown(tag, ctx, accumDtype=None):
+    from lightweaver_tpu.context import build_iteration_fn
+    cfg = ctx.cfg
+    if accumDtype is not None:
+        import copy
+        cfg = copy.copy(cfg)
+        cfg.accumDtype = accumDtype
+    it = build_iteration_fn(cfg)
+    params = dict(ctx._params)
+
+    gather = jax.jit(lambda p: it.gather(p))
+
+    def _gfs(p):
+        chiTot, etaTot, chiT, etaT, UjiT = it.gather(p)
+        srcNum = (etaTot + p['bgSca'][:, None, None, :]
+                  * p['J'].astype(cfg.dtype)[:, None, None, :])
+        S = srcNum / chiTot
+        return it.formal_solve(p, chiTot, S)
+    gfs = jax.jit(_gfs)
+
+    lam_it = jax.jit(lambda p: it(p, lambdaIterate=True))
+    full = jax.jit(lambda p: it(p))
+
+    report(f'{tag}:gather', 1e3 * timeit(gather, params))
+    report(f'{tag}:gather+fs', 1e3 * timeit(gfs, params))
+    report(f'{tag}:lambda_iterate', 1e3 * timeit(lam_it, params))
+    tFull = timeit(full, params)
+    report(f'{tag}:full', 1e3 * tFull)
+    try:
+        m = full.lower(params).compile()
+        ca = m.cost_analysis()
+        ba = ca.get('bytes accessed', None) if ca else None
+        fl = ca.get('flops', None) if ca else None
+        print(json.dumps({'stage': f'{tag}:cost_analysis',
+                          'bytes_accessed': ba, 'flops': fl,
+                          'achieved_GBps': (None if not ba else
+                                            round(ba / tFull / 1e9, 1))}),
+              flush=True)
+    except Exception as e:
+        print(json.dumps({'stage': f'{tag}:cost_analysis',
+                          'error': str(e)}), flush=True)
+
+
+if __name__ == '__main__':
+    print(json.dumps({'device': str(jax.devices()[0])}), flush=True)
+    ctxMixed = prepared_ctx(dtype=jnp.float32)
+    breakdown('mixed', ctxMixed)
+    # f32 accumulation (numerics would stall in production; this isolates
+    # the cost of the f64-emulated accumulation contractions)
+    breakdown('f32accum', ctxMixed, accumDtype=jnp.float32)
+    ctx64 = prepared_ctx(dtype=jnp.float64)
+    breakdown('f64', ctx64)

@@ -164,3 +164,48 @@ def test_converged_vs_reference(golden):
         assert relerr(c.popsState[ia]['n'], ref[f'out_pops_a{ia}']) < 1e-7
     assert relerr(c.J, ref['out_J']) < 1e-7
     assert relerr(c.I, ref['out_I']) < 1e-7
+
+
+# ---------------------------------------------------------------------------
+@pytest.mark.slow
+def test_prd_converged_vs_reference():
+    """BASELINE config 3 (H Ly-alpha/beta + Mg II h&k in PRD): converge the
+    full MALI + PRD-redistribution loop and compare against the compiled
+    reference running redistribute_prd_lines (PrdTemplates.hpp:176-330,
+    Prd.cpp:9-645) on byte-identical inputs: identical iteration count and
+    ~1e-10 agreement in populations, J, emergent I, and every PRD line's
+    converged emission-profile ratio rho."""
+    from lightweaver_tpu.rh_atoms import MgII_atom
+    ref = np.load(os.path.join(GOLDEN, 'falc_h6mg_prd_ref.npz'))
+    inputs = np.load(os.path.join(GOLDEN, 'falc_h6mg_prd_inputs.npz'))
+
+    atmos = Falc82()
+    atmos.quadrature(5)
+    rs = RadiativeSet([H_6_atom(), MgII_atom()])
+    rs.set_active('H', 'Mg')
+    spect = rs.compute_wavelength_grid()
+    eqPops = rs.compute_eq_pops(atmos)
+    c = Context(atmos, spect, eqPops, formalSolver='piecewise_bezier3_1d')
+
+    # input reproducibility (golden staleness fails loudly)
+    np.testing.assert_allclose(np.asarray(c.spect.wavelength),
+                               inputs['wavelength'], rtol=1e-12)
+    for ia, a in enumerate(c.activeAtoms):
+        for it, t in enumerate(a.trans):
+            if t.isLine and t.isPrd:
+                np.testing.assert_allclose(
+                    np.asarray(c.Qelast[ia][it]),
+                    inputs[f'atom{ia}_trans{it}_qelast'], rtol=1e-10)
+
+    nIter = iterate_ctx_se(c, NmaxIter=500, prd=True, quiet=True)
+    assert abs(nIter - int(ref['out_niter'][0])) <= 2
+
+    for ia in range(2):
+        assert relerr(c.popsState[ia]['n'], ref[f'out_pops_a{ia}']) < 1e-7
+    assert relerr(c.J, ref['out_J']) < 1e-7
+    assert relerr(c.I, ref['out_I']) < 1e-7
+    for ai, a in enumerate(c.activeAtoms):
+        for ti, t in enumerate(a.trans):
+            if t.isLine and t.isPrd:
+                assert relerr(c.rhoPrd[ai][ti],
+                              ref[f'out_rho_a{ai}t{ti}']) < 1e-7, (ai, ti)
