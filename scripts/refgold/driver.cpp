@@ -606,6 +606,17 @@ int main(int argc, char** argv)
                 // profiles), driven as LwMiddleLayer.pyx:2004-2053 does
                 t.compute_polarised_profiles(atmos, t.aDamp,
                                              holder->atom.vBroad, zc);
+                std::string tag = "a" + std::to_string(ia) + "t"
+                                  + std::to_string(it);
+                npyio::save(opath("out_phiQ_" + tag + ".npy"),
+                            pb->phiQ.data(), {Nlt, Nrays, 2, Nspace});
+                npyio::save(opath("out_phiV_" + tag + ".npy"),
+                            pb->phiV.data(), {Nlt, Nrays, 2, Nspace});
+                npyio::save(opath("out_psiQ_" + tag + ".npy"),
+                            pb->psiQ.data(), {Nlt, Nrays, 2, Nspace});
+                npyio::save(opath("out_phi_pol_" + tag + ".npy"),
+                            holder->trans[it]->phi.data(),
+                            {Nlt, Nrays, 2, Nspace});
                 polStore.push_back(std::move(pb));
             }
         }

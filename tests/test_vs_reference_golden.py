@@ -167,6 +167,94 @@ def test_converged_vs_reference(golden):
 
 
 # ---------------------------------------------------------------------------
+def amperr(ours, ref):
+    """Max abs error normalised by the reference's peak amplitude.
+
+    Signed Stokes profiles cross zero; plain relative error explodes at the
+    zero crossings where both sides carry ~1e-17 numerical residue."""
+    ours = np.asarray(ours, dtype=np.float64)
+    ref = np.asarray(ref, dtype=np.float64)
+    return np.abs(ours - ref).max() / np.abs(ref).max()
+
+
+@pytest.mark.slow
+def test_stokes_converged_vs_reference():
+    """BASELINE config 4 (Zeeman-polarised Ca II, magnetised FAL-C): converge
+    CRD MALI, then compare the polarised profiles (phi/phiQ/phiV/psiQ built
+    as FormalStokes.cpp:9-80 does) and the full-Stokes formal solution
+    (formal_sol_full_stokes_impl, FormalStokes.cpp:505-605) against the
+    compiled reference on byte-identical inputs.
+
+    The reference driver runs with updateJ=true: with its default
+    updateJ=false the reference's stokes_fs_core never binds JDag
+    (FormalStokes.cpp:429-439) and silently drops the coherent-scattering
+    sca*J term from Stokes-I (UV continua come out orders of magnitude too
+    dark); lightweaver_tpu always includes it. Measured agreement
+    (amplitude-normalised): I 1.3e-8, Q 5.5e-7, U 1.0e-6, V 1.8e-4 — every
+    worst point is a wavelength where our Q/U/V is exactly 0 and the
+    reference carries ~1e-13 leakage from its unpolarised path."""
+    from lightweaver_tpu.iterate_ctx import iterate_ctx_se
+    ref = np.load(os.path.join(GOLDEN, 'falc_h6ca_stokes_ref.npz'))
+    inputs = np.load(os.path.join(GOLDEN, 'falc_h6ca_stokes_inputs.npz'))
+
+    atmos = Falc82()
+    atmos.quadrature(5)
+    Nk = atmos.Nspace
+    atmos.B = np.full(Nk, 0.1)
+    atmos.gammaB = np.full(Nk, np.pi / 3)
+    atmos.chiB = np.full(Nk, np.pi / 6)
+    rs = RadiativeSet([H_6_atom(), CaII_atom()])
+    rs.set_active('H', 'Ca')
+    spect = rs.compute_wavelength_grid()
+    eqPops = rs.compute_eq_pops(atmos)
+    c = Context(atmos, spect, eqPops, formalSolver='piecewise_bezier3_1d')
+
+    # input reproducibility (golden staleness fails loudly)
+    np.testing.assert_allclose(np.asarray(c.spect.wavelength),
+                               inputs['wavelength'], rtol=1e-12)
+    for ia, a in enumerate(c.activeAtoms):
+        for it, t in enumerate(a.trans):
+            if not t.isLine:
+                continue
+            line = [l for l in a.model.lines
+                    if l.i == t.i and l.j == t.j][0]
+            z = line.zeeman_components()
+            if z is None:
+                continue
+            tag = f'atom{ia}_trans{it}_zeeman'
+            np.testing.assert_allclose(z.alpha, inputs[tag + '_alpha'])
+            np.testing.assert_allclose(z.shift, inputs[tag + '_shift'],
+                                       rtol=1e-12)
+            np.testing.assert_allclose(z.strength, inputs[tag + '_strength'],
+                                       rtol=1e-12)
+
+    nIter = iterate_ctx_se(c, NmaxIter=500, quiet=True)
+    assert abs(nIter - int(ref['out_niter'][0])) <= 2
+    for ia in range(2):
+        assert relerr(c.popsState[ia]['n'], ref[f'out_pops_a{ia}']) < 1e-7
+
+    # polarised profiles (goldens stored f32: compare at 1e-5)
+    c.compute_polarised_profiles()
+    for ai, a in enumerate(c.activeAtoms):
+        for ti, t in enumerate(a.trans):
+            p7 = c.phi7[ai][ti]
+            if p7 is None:
+                continue
+            tag = f'a{ai}t{ti}'
+            assert amperr(p7['phi'], ref[f'out_phi_pol_{tag}']) < 1e-5, tag
+            assert amperr(p7['phiQ'], ref[f'out_phiQ_{tag}']) < 1e-5, tag
+            assert amperr(p7['phiV'], ref[f'out_phiV_{tag}']) < 1e-5, tag
+            assert amperr(p7['psiQ'], ref[f'out_psiQ_{tag}']) < 1e-5, tag
+
+    # full-Stokes formal solution
+    c.single_stokes_fs(recompute=True, updateJ=True)
+    IRef = ref['out_I_stokes']
+    QuvRef = ref['out_Quv']
+    assert amperr(c.I, IRef) < 1e-6
+    for n in range(3):
+        assert amperr(c.Quv[n], QuvRef[n]) < 1e-3, 'QUV'[n]
+
+
 @pytest.mark.slow
 def test_prd_converged_vs_reference():
     """BASELINE config 3 (H Ly-alpha/beta + Mg II h&k in PRD): converge the
