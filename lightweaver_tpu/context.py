@@ -134,6 +134,11 @@ class IterConfig:
     gammaMode: str = 'factored'
     # 2D extensions
     Ndim: int = 1
+    # upwind-interpolation function for 2D sweeps, mirroring the
+    # reference's InterpFn selection (FormalInterface.cpp:41-42):
+    # 'interp_linear_2d' (default, like the reference) or
+    # 'interp_besser_2d' (monotonic-Bezier upwind chi/S/I).
+    interpFn2d: str = 'interp_linear_2d'
     xPeriodic: bool = True
     mux: Optional[np.ndarray] = None    # [Nmu] (2D rays)
     Nz: Optional[int] = None
@@ -349,7 +354,6 @@ def build_iteration_fn(cfg: IterConfig):
         from .ops.formal_solver2d import formal_sol_2d
         Nz, Nx = cfg.Nz, cfg.Nx
         T2 = params['temperature'].reshape(Nz, Nx)
-        zG = jnp.asarray(cfg.zGrid, dt)
         Iparts, PsiParts, IeffParts = [], [], []
         for d, toObs in ((0, False), (1, True)):
             Imu, PsiMu, IeffMu = [], [], []
@@ -357,24 +361,49 @@ def build_iteration_fn(cfg: IterConfig):
                 geom = cfg.geom2d[(mu, toObs)]
                 chi_m = chiTot[:, mu, d].reshape(Nlam, Nz, Nx)
                 S_m = S[:, mu, d].reshape(Nlam, Nz, Nx)
-                if toObs and cfg.lowerThermalised:
-                    dtau = (0.5 * (chi_m[:, -1] + chi_m[:, -2])
-                            * jnp.abs(zG[-1] - zG[-2]) / muz[mu])
-                    Bn = planck_nu(T2[-1][None, :], lamGrid[:, None])
-                    Bn1 = planck_nu(T2[-2][None, :], lamGrid[:, None])
-                    Iupw = Bn - (Bn1 - Bn) / dtau
-                elif (not toObs) and cfg.upperThermalised:
-                    dtau = (0.5 * (chi_m[:, 0] + chi_m[:, 1])
-                            * jnp.abs(zG[0] - zG[1]) / muz[mu])
-                    Bn = planck_nu(T2[0][None, :], lamGrid[:, None])
-                    Bn1 = planck_nu(T2[1][None, :], lamGrid[:, None])
-                    Iupw = Bn - (Bn1 - Bn) / dtau
+                thermalised = (cfg.lowerThermalised if toObs
+                               else cfg.upperThermalised)
+                if thermalised:
+                    # thermalised start plane from the ray's DOWNWIND
+                    # intersection (fractional-x chi/T interpolation),
+                    # exactly as the reference
+                    # (ref: FormalScalar2d.cpp:567-612)
+                    i0, i1 = (Nz - 1, Nz - 2) if toObs else (0, 1)
+                    sA = geom['sAxisZ'][None, :]
+                    sW = jnp.asarray(geom['sW'], dt)[None, :]
+                    sDs = jnp.asarray(geom['sDs'], dt)[None, :]
+                    sJ, sJn = geom['sJ'], geom['sJn']
+                    chi0 = chi_m[:, i0]
+                    chi1 = chi_m[:, i1]
+                    chiDw = jnp.where(
+                        sA,
+                        (1.0 - sW) * chi0[:, sJn] + sW * chi1[:, sJn],
+                        (1.0 - sW) * chi1[:, sJ] + sW * chi1[:, sJn])
+                    dtau = 0.5 * (chi0 + chiDw) * sDs
+                    T0, T1 = T2[i0], T2[i1]
+                    TDw = jnp.where(
+                        sA[0],
+                        (1.0 - sW[0]) * T0[sJn] + sW[0] * T1[sJn],
+                        (1.0 - sW[0]) * T1[sJ] + sW[0] * T1[sJn])
+                    Bn = planck_nu(T0[None, :], lamGrid[:, None])
+                    BnDw = planck_nu(TDw[None, :], lamGrid[:, None])
+                    Iupw = Bn - (BnDw - Bn) / dtau
                 else:
                     Iupw = jnp.zeros((Nlam, Nx), dt)
-                interp2d = ('besser' if 'besser' in cfg.formalSolver
+                # solver-name mapping mirrors the reference registries
+                # (FormalInterface.cpp:35-42): 'piecewise_besser_2d'
+                # selects the BESSER along-ray scheme; the upwind
+                # interpolation comes from cfg.interpFn2d
+                alongRay = ('besser' if cfg.formalSolver
+                            == 'piecewise_besser_2d' else 'linear')
+                interp2d = ('besser' if 'besser' in cfg.interpFn2d
                             else 'linear')
+                # vertical rays have no x coupling and are never fixed
+                # to the x BC (ref: FormalScalar2d.cpp:505-546 only
+                # fills the boundary column when mux != 0)
+                periodicEff = cfg.xPeriodic or cfg.mux[mu] == 0.0
                 Ibc = None
-                if not cfg.xPeriodic:
+                if not periodicEff:
                     # the most-upwind x column is fixed from the
                     # callable x BC: mux > 0 reads xLowerBc, mux < 0
                     # xUpperBc (ref: FormalScalar2d.cpp:496-546)
@@ -382,9 +411,16 @@ def build_iteration_fn(cfg: IterConfig):
                     key = ('xLowerBcData' if sgn * cfg.mux[mu] >= 0
                            else 'xUpperBcData')
                     Ibc = params[key][:, mu, d].astype(dt)  # [Nlam, Nz]
+                    # the boundary column keeps the x-BC value on the
+                    # starting plane too (the reference's whole-column
+                    # pre-fill runs before the z-BC plane loop, which
+                    # skips that column)
+                    i0 = Nz - 1 if toObs else 0
+                    j0 = 0 if geom['dj'] > 0 else Nx - 1
+                    Iupw = Iupw.at[:, j0].set(Ibc[:, i0])
                 I_m, Psi_m, Ieff_m = formal_sol_2d(
                     chi_m, S_m, geom, Iupw, interp=interp2d,
-                    periodic=cfg.xPeriodic, Ibc=Ibc)
+                    periodic=periodicEff, Ibc=Ibc, alongRay=alongRay)
                 Imu.append(I_m.reshape(Nlam, Nk))
                 PsiMu.append(Psi_m.reshape(Nlam, Nk))
                 IeffMu.append(Ieff_m.reshape(Nlam, Nk))
@@ -919,6 +955,7 @@ class Context:
                  ngOptions=None, initSol=None, conserveCharge: bool = False,
                  nrHOnly: bool = False, hprd: bool = False,
                  formalSolver: str = 'piecewise_bezier3_1d',
+                 interpFn2d: str = 'interp_linear_2d',
                  recurrenceMode: str = 'scan',
                  backgroundProvider=None,
                  crswCallback=None,
@@ -956,7 +993,8 @@ class Context:
             Nlam=spect.Nspect, Nmu=atmos.Nrays, Nk=atmos.Nspace,
             lowerThermalised=isinstance(atmos.lowerBc, ThermalisedRadiation),
             upperThermalised=isinstance(atmos.upperBc, ThermalisedRadiation),
-            formalSolver=formalSolver, recurrenceMode=recurrenceMode,
+            formalSolver=formalSolver, interpFn2d=interpFn2d,
+            recurrenceMode=recurrenceMode,
             dtype=dtype, wavelength=np.asarray(spect.wavelength),
             muz=np.asarray(atmos.muz), wmu=np.asarray(atmos.wmu),
             accumDtype=accumDtype,
@@ -981,7 +1019,8 @@ class Context:
                     sgn = 1.0 if toObs else -1.0
                     geom[(mu, toObs)] = build_geometry_2d(
                         np.asarray(atmos.x), np.asarray(atmos.zGrid),
-                        sgn * atmos.mux[mu], sgn * atmos.muz[mu], toObs)
+                        sgn * atmos.mux[mu], sgn * atmos.muz[mu], toObs,
+                        periodic=self.cfg.xPeriodic)
             self.cfg.geom2d = geom
 
         if backgroundProvider is None:

@@ -63,6 +63,8 @@ static RadiationBc parse_bc(const std::string& s)
         return RadiationBc::THERMALISED;
     if (s == "PERIODIC")
         return RadiationBc::PERIODIC;
+    if (s == "CALLABLE")
+        return RadiationBc::CALLABLE;
     std::fprintf(stderr, "Unknown BC %s\n", s.c_str());
     std::exit(1);
 }
@@ -86,13 +88,16 @@ int main(int argc, char** argv)
         std::fprintf(stderr, "cannot open manifest\n");
         return 1;
     }
-    int Nspace = 0, Nrays = 0, Nspect = 0, Ndim = 1;
+    int Nspace = 0, Nrays = 0, Nspect = 0, Ndim = 1, Nx2d = 0;
     int Nscatter = 3, maxIter = 500, Natoms = 0;
     int prdSubIter = 3;
     int stokesMode = 0;
+    int ngOrder = 0, ngPeriod = 0, ngDelay = 0;
     double JTol = 5e-3, popsTol = 1e-3, prdTol = 1e-2;
     std::string zLower = "THERMALISED", zUpper = "ZERO";
+    std::string xLower = "PERIODIC", xUpper = "PERIODIC";
     std::string solverName = "piecewise_bezier3_1d";
+    std::string interpName = "interp_linear_2d";
     struct TransSpec
     {
         std::string type;
@@ -121,9 +126,14 @@ int main(int argc, char** argv)
         else if (key == "prdSubIter") mf >> prdSubIter;
         else if (key == "prdTol") mf >> prdTol;
         else if (key == "stokes") mf >> stokesMode;
+        else if (key == "ng") mf >> ngOrder >> ngPeriod >> ngDelay;
         else if (key == "zLowerBc") mf >> zLower;
         else if (key == "zUpperBc") mf >> zUpper;
+        else if (key == "xLowerBc") mf >> xLower;
+        else if (key == "xUpperBc") mf >> xUpper;
+        else if (key == "Nx") mf >> Nx2d;
         else if (key == "formalSolver") mf >> solverName;
+        else if (key == "interpFn") mf >> interpName;
         else if (key == "Natoms") mf >> Natoms;
         else if (key == "atom")
         {
@@ -182,11 +192,23 @@ int main(int argc, char** argv)
     atmos.Ny = 0;
     atmos.Nz = Nspace;
     atmos.Noutgoing = 1;
-    atmos.z = F64View(z.f64.data(), Nspace);
-    atmos.height = F64View(z.f64.data(), Nspace);
+    NpyArray x2d, vx2d;
+    if (Ndim == 2)
+    {
+        // flat k = z*Nx + x layout, like LwMiddleLayer.pyx:620-714
+        atmos.Nx = Nx2d;
+        atmos.Nz = Nspace / Nx2d;
+        atmos.Noutgoing = Nx2d;
+        x2d = npyio::load(ipath("x.npy"));
+        atmos.x = F64View(x2d.f64.data(), Nx2d);
+        vx2d = npyio::load(ipath("vx.npy"));
+    }
+    atmos.z = F64View(z.f64.data(), atmos.Nz);
+    atmos.height = F64View(z.f64.data(), atmos.Nz);
     atmos.temperature = F64View(temperature.f64.data(), Nspace);
     atmos.ne = F64View(ne.f64.data(), Nspace);
-    atmos.vx = F64View(vxDummy.data(), Nspace);
+    atmos.vx = (Ndim == 2) ? F64View(vx2d.f64.data(), Nspace)
+                           : F64View(vxDummy.data(), Nspace);
     atmos.vy = F64View(vyDummy.data(), Nspace);
     atmos.vz = F64View(vz.f64.data(), Nspace);
     atmos.vturb = F64View(vturb.f64.data(), Nspace);
@@ -205,6 +227,35 @@ int main(int argc, char** argv)
     atmos.xUpperBc = AtmosphericBoundaryCondition();
     atmos.yLowerBc = AtmosphericBoundaryCondition();
     atmos.yUpperBc = AtmosphericBoundaryCondition();
+    std::vector<int32_t> xBcIdxBuf;
+    NpyArray xLowerData, xUpperData;
+    if (Ndim == 2)
+    {
+        // trivial (mu, toObs) -> bcData row mapping: muIdx = 2*mu + toObs
+        // (the Cython layer derives an equivalent indexVector from the
+        // atmosphere's structure; any consistent mapping works since we
+        // export the data rows in the same order)
+        xBcIdxBuf.resize((size_t)Nrays * 2);
+        for (int mu = 0; mu < Nrays; ++mu)
+            for (int t = 0; t < 2; ++t)
+                xBcIdxBuf[mu * 2 + t] = 2 * mu + t;
+        BcIdxs xIdxs(xBcIdxBuf.data(), Nrays, 2);
+        atmos.xLowerBc = AtmosphericBoundaryCondition(
+            parse_bc(xLower), Nspect, 2 * Nrays, atmos.Nz, xIdxs);
+        atmos.xUpperBc = AtmosphericBoundaryCondition(
+            parse_bc(xUpper), Nspect, 2 * Nrays, atmos.Nz, xIdxs);
+        if (atmos.xLowerBc.type == RadiationBc::CALLABLE)
+        {
+            xLowerData = npyio::load(ipath("xlowerbc_data.npy"));
+            atmos.xLowerBc.set_bc_data(
+                F64View3D(xLowerData.f64.data(), Nspect, 2 * Nrays,
+                          atmos.Nz));
+            xUpperData = npyio::load(ipath("xupperbc_data.npy"));
+            atmos.xUpperBc.set_bc_data(
+                F64View3D(xUpperData.f64.data(), Nspect, 2 * Nrays,
+                          atmos.Nz));
+        }
+    }
 
     NpyArray Bmag, gammaB, chiB;
     std::vector<double> cosGammaBuf, cos2chiBuf, sin2chiBuf;
@@ -231,11 +282,12 @@ int main(int argc, char** argv)
 
     // ---- Spectrum ----------------------------------------------------------
     NpyArray wavelength = npyio::load(ipath("wavelength.npy"));
-    std::vector<double> Ibuf((size_t)Nspect * Nrays * 1, 0.0);
+    const int Noutgoing = atmos.Noutgoing;
+    std::vector<double> Ibuf((size_t)Nspect * Nrays * Noutgoing, 0.0);
     std::vector<double> Jbuf((size_t)Nspect * Nspace, 0.0);
     Spectrum spect;
     spect.wavelength = F64View(wavelength.f64.data(), Nspect);
-    spect.I = F64View3D(Ibuf.data(), Nspect, Nrays, 1);
+    spect.I = F64View3D(Ibuf.data(), Nspect, Nrays, Noutgoing);
     spect.J = F64View2D(Jbuf.data(), Nspect, Nspace);
 
     // ---- Background (precomputed arrays fed to the iteration) --------------
@@ -342,7 +394,10 @@ int main(int argc, char** argv)
         }
 
         a.init_scratch(Nspace, false, true, true);
-        a.ng = Ng(0, 0, 0, a.n.flatten());
+        // ngOrder>0 enables reference Ng acceleration (Ng.hpp:31-115),
+        // wired exactly as the Cython layer does (LwMiddleLayer.pyx
+        // atom.setup: ng initialised on the starting populations)
+        a.ng = Ng(ngOrder, ngPeriod, ngDelay, a.n.flatten());
         atoms.push_back(std::move(holder));
     }
 
@@ -438,6 +493,9 @@ int main(int argc, char** argv)
     }
     InterpFnManager interpManager;
     ctx.interpFn = interpManager.fns[0];
+    for (auto& f : interpManager.fns)
+        if (interpName == f.name)
+            ctx.interpFn = f;
     FsIterationFnsManager iterManager;
     ctx.iterFns = iterManager.fns[0];
 
@@ -473,13 +531,33 @@ int main(int argc, char** argv)
             // Gamma <- crsw * C with crsw = 1 (LwMiddleLayer.pyx:3198-3203)
             std::copy(holder->C.begin(), holder->C.end(), holder->Gamma.begin());
         }
-        IterationResult fsResult = formal_sol_gamma_matrices(ctx, false);
+        IterationResult fsResult;
+        if (it == 0 && Ndim == 2 && std::getenv("REFGOLD_DUMP_ZPLANE"))
+        {
+            // debug: capture the down-pass intensity at plane Nz-2 and the
+            // up-pass at plane 1 via the ZPlaneDecomposition hook
+            std::vector<double> zdown((size_t)Nspect * Nrays * atmos.Nx, 0.0);
+            std::vector<double> zup((size_t)Nspect * Nrays * atmos.Nx, 0.0);
+            ExtraParams zp;
+            zp.insert("ZPlaneDecomposition", true);
+            zp.insert("ZPlaneDown", F64View3D(zdown.data(), Nspect, Nrays, atmos.Nx));
+            zp.insert("ZPlaneUp", F64View3D(zup.data(), Nspect, Nrays, atmos.Nx));
+            fsResult = formal_sol_gamma_matrices(ctx, false, zp);
+            npyio::save(opath("out_zplane_down.npy"), zdown.data(), {Nspect, Nrays, atmos.Nx});
+            npyio::save(opath("out_zplane_up.npy"), zup.data(), {Nspect, Nrays, atmos.Nx});
+        }
+        else
+            fsResult = formal_sol_gamma_matrices(ctx, false);
         dJHist.push_back(fsResult.dJMax);
 
         if (it == 0)
         {
             npyio::save(opath("out_J_iter1.npy"), Jbuf.data(), {Nspect, Nspace});
-            npyio::save(opath("out_I_iter1.npy"), Ibuf.data(), {Nspect, Nrays});
+            if (Ndim == 2)
+                npyio::save(opath("out_I_iter1.npy"), Ibuf.data(),
+                            {Nspect, Nrays, Noutgoing});
+            else
+                npyio::save(opath("out_I_iter1.npy"), Ibuf.data(), {Nspect, Nrays});
             for (int ia = 0; ia < Natoms; ++ia)
             {
                 int Nl = atoms[ia]->atom.Nlevel;
@@ -520,7 +598,10 @@ int main(int argc, char** argv)
 
     // ---- Converged outputs --------------------------------------------------
     npyio::save(opath("out_J.npy"), Jbuf.data(), {Nspect, Nspace});
-    npyio::save(opath("out_I.npy"), Ibuf.data(), {Nspect, Nrays});
+    if (Ndim == 2)
+        npyio::save(opath("out_I.npy"), Ibuf.data(), {Nspect, Nrays, Noutgoing});
+    else
+        npyio::save(opath("out_I.npy"), Ibuf.data(), {Nspect, Nrays});
     for (int ia = 0; ia < Natoms; ++ia)
     {
         auto& holder = atoms[ia];

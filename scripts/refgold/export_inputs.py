@@ -30,6 +30,76 @@ from lightweaver_tpu.fal import Falc82  # noqa: E402
 from lightweaver_tpu.rh_atoms import CaII_atom, H_6_atom  # noqa: E402
 
 
+from lightweaver_tpu.atmosphere import BoundaryCondition  # noqa: E402
+
+
+class HalfPlanckXBc(BoundaryCondition):
+    """Callable x boundary condition for the 2D golden config: incident
+    intensity = 0.5 * B_nu(T) of the adjacent boundary column, for every
+    ray/direction.  Deterministic and wavelength-scaled so the exported
+    bcData exercises the reference's CALLABLE path with physical values.
+    (Duplicated in tests/test_vs_reference_golden.py; the packed-input
+    staleness check keeps the two in sync.)"""
+
+    def __init__(self, colIdx: int):
+        self.colIdx = colIdx
+
+    def compute_bc(self, atmos, spect):
+        from lightweaver_tpu.ops.planck import planck_nu
+        lam = np.asarray(spect.wavelength)
+        T = np.asarray(atmos.temperature).reshape(atmos.Nz, atmos.Nx)
+        Tcol = T[:, self.colIdx]
+        B = 0.5 * np.asarray(planck_nu(Tcol[None, :], lam[:, None]))
+        return np.broadcast_to(B[:, None, None, :],
+                               (len(lam), atmos.Nrays, 2, atmos.Nz)).copy()
+
+
+class RefBugCompatXLower(HalfPlanckXBc):
+    """HalfPlanckXBc with the down-direction rows 1..Nx-1 zeroed, which
+    reproduces a genuine INDEX-SWAP BUG in the reference's 2D formal
+    solvers: the starting-plane boundary loop writes `I(j, k) = 0.0`
+    instead of `I(k, j)` (FormalScalar2d.cpp:570 and the BESSER variant),
+    so on every DOWN pass the first Nx-1 z-rows of the CALLABLE fixed
+    x-lower column are zeroed after the column pre-fill (the up pass only
+    corrupts interior cells that the sweep overwrites; periodic and 1D
+    configs never hit the callable pre-fill, which is why their goldens
+    are clean).  lightweaver_tpu's solver is the *correct* solve --
+    verified against a literal numpy transcription of the reference
+    algorithm at ~1e-13 per ray -- so the golden test injects this BC to
+    reproduce the reference's output exactly while the production default
+    (HalfPlanckXBc) keeps the right physics."""
+
+    def compute_bc(self, atmos, spect):
+        data = super().compute_bc(atmos, spect)
+        data[:, :, 0, 1:atmos.Nx] = 0.0
+        return data
+
+
+def build_2d_atmos():
+    """The 2D golden problem's atmosphere: FAL-C subsampled to 30 depths,
+    8 columns 40 km apart with a +-5% sinusoidal temperature perturbation
+    and a weak shear flow, callable (HalfPlanck) x BCs.  Column spacing is
+    chosen so upwind intersections hit BOTH z-planes and x side faces."""
+    from lightweaver_tpu.atmosphere import Atmosphere
+    full = Falc82()
+    idx = np.unique(np.linspace(0, 81, 30).astype(int))
+    Nz = len(idx)
+    Nx = 8
+    x = np.arange(Nx) * 40e3
+    pert = 1.0 + 0.05 * np.sin(2 * np.pi * np.arange(Nx) / Nx)
+    col = lambda a: np.broadcast_to(a[idx][:, None], (Nz, Nx)).copy()
+    T = full.temperature[idx][:, None] * pert[None, :]
+    vx = 1e3 * np.sin(2 * np.pi * np.arange(Nx) / Nx)[None, :] \
+        * np.ones((Nz, 1))
+    atmos = Atmosphere.make_2d(
+        height=full.height[idx], x=x, temperature=T,
+        vx=vx, vz=col(full.vlos), vturb=col(full.vturb),
+        ne=col(full.ne), nHTot=col(full.nHTot),
+        xLowerBc=HalfPlanckXBc(0), xUpperBc=HalfPlanckXBc(Nx - 1))
+    atmos.quadrature(3)
+    return atmos
+
+
 def build_ctx(config: str):
     if config == 'bench500':
         # the bench.py configuration: FAL-C interpolated to 500 depth
@@ -37,6 +107,18 @@ def build_ctx(config: str):
         # anchor recorded in bench_baseline.json)
         import bench
         return bench.build_ctx()
+    if config in ('falc2d_ca', 'falc2d_ca_besser'):
+        # BASELINE config 5 (2D): Ca II active over a horizontally
+        # perturbed FAL-C slab with callable x BCs; linear or BESSER 2D
+        # solver + interp_linear_2d (the reference defaults) on both sides
+        atmos = build_2d_atmos()
+        rs = RadiativeSet([H_6_atom(), CaII_atom()])
+        rs.set_active('Ca')
+        spect = rs.compute_wavelength_grid()
+        eqPops = rs.compute_eq_pops(atmos)
+        solver = ('piecewise_besser_2d' if config.endswith('besser')
+                  else 'piecewise_linear_2d')
+        return Context(atmos, spect, eqPops, formalSolver=solver)
     atmos = Falc82()
     atmos.quadrature(5)
     if config == 'falc_h6ca':
@@ -49,6 +131,13 @@ def build_ctx(config: str):
         from lightweaver_tpu.rh_atoms import MgII_atom
         rs = RadiativeSet([H_6_atom(), MgII_atom()])
         rs.set_active('H', 'Mg')
+    elif config == 'falc_multi_ng':
+        # BASELINE config 2: multi-atom active set (H, Ca II, Na I) with
+        # Ng acceleration; Mg II kept passive so its continua enrich the
+        # background opacity both sides consume
+        from lightweaver_tpu.rh_atoms import MgII_atom, NaI_atom
+        rs = RadiativeSet([H_6_atom(), CaII_atom(), NaI_atom(), MgII_atom()])
+        rs.set_active('H', 'Ca', 'Na')
     elif config == 'falc_h6ca_stokes':
         # BASELINE config 4: Zeeman-polarised Ca II in a magnetised FAL-C
         # (uniform 0.1 T field inclined 60 deg, azimuth 30 deg)
@@ -66,7 +155,7 @@ def build_ctx(config: str):
     return ctx
 
 
-def export(ctx, outdir, prd=False, stokes=False):
+def export(ctx, outdir, prd=False, stokes=False, ngOptions=None):
     """prd=True marks PRD lines in the manifest (and exports their elastic
     rates) so the driver runs redistribute_prd_lines; older CRD configs
     (falc_h6ca) keep PRD-typed lines in CRD on both sides.  stokes=True
@@ -80,10 +169,26 @@ def export(ctx, outdir, prd=False, stokes=False):
 
     atmos = ctx.atmos
     spect = ctx.spect
-    save('z', atmos.height)
+    twoD = atmos.Ndim == 2
+    if twoD:
+        save('z', atmos.zGrid)
+        save('x', atmos.x)
+        save('vx', atmos.vx)
+        save('vz', atmos.vz)
+        # callable x BC data, rows ordered muIdx = 2*mu + toObs to match
+        # the driver's trivial indexVector
+        for bc, name in ((atmos.xLowerBc, 'xlowerbc_data'),
+                         (atmos.xUpperBc, 'xupperbc_data')):
+            data = bc.compute_bc(atmos, spect)   # [Nlam, Nmu, 2, Nz]
+            if data is not None:
+                d = np.asarray(data, np.float64)
+                save(name, d.reshape(d.shape[0], -1, d.shape[-1]))
+    else:
+        save('z', atmos.height)
+        save('vz', atmos.vlos if atmos.vlos is not None
+             else np.zeros(atmos.Nspace))
     save('temperature', atmos.temperature)
     save('ne', atmos.ne)
-    save('vz', atmos.vlos if atmos.vlos is not None else np.zeros(atmos.Nspace))
     save('vturb', atmos.vturb)
     save('nHTot', atmos.nHTot)
     save('muz', atmos.muz)
@@ -114,10 +219,17 @@ def export(ctx, outdir, prd=False, stokes=False):
     lines.append(f'Nspace {atmos.Nspace}')
     lines.append(f'Nrays {atmos.Nrays}')
     lines.append(f'Nspect {spect.Nspect}')
-    lines.append('Ndim 1')
+    lines.append(f'Ndim {atmos.Ndim}')
     lines.append('zLowerBc THERMALISED')
     lines.append('zUpperBc ZERO')
-    lines.append('formalSolver piecewise_bezier3_1d')
+    if twoD:
+        lines.append(f'Nx {atmos.Nx}')
+        lines.append('xLowerBc CALLABLE')
+        lines.append('xUpperBc CALLABLE')
+        lines.append(f'formalSolver {ctx.cfg.formalSolver}')
+        lines.append('interpFn interp_linear_2d')
+    else:
+        lines.append('formalSolver piecewise_bezier3_1d')
     lines.append('Nscatter 3')
     lines.append('maxIter 500')
     lines.append('JTol 5e-3')
@@ -126,6 +238,9 @@ def export(ctx, outdir, prd=False, stokes=False):
     lines.append('prdTol 1e-2')
     if stokes:
         lines.append('stokes 1')
+    if ngOptions is not None:
+        lines.append(f'ng {ngOptions.Norder} {ngOptions.Nperiod} '
+                     f'{ngOptions.Ndelay}')
     lines.append(f'Natoms {len(ctx.activeAtoms)}')
 
     for ia, a in enumerate(ctx.activeAtoms):
@@ -183,5 +298,15 @@ if __name__ == '__main__':
     outdir = sys.argv[1] if len(sys.argv) > 1 else 'scripts/refgold/inputs'
     config = sys.argv[2] if len(sys.argv) > 2 else 'falc_h6ca'
     ctx = build_ctx(config)
+    ngOptions = None
+    if config == 'falc_multi_ng':
+        # Ndelay=50: engaging Ng earlier on this problem extrapolates the
+        # pre-asymptotic iterates to negative populations and the
+        # stat-eq solve goes singular -- in BOTH implementations
+        # (verified: the compiled reference throws Singular Matrix and
+        # lightweaver_tpu raises ExplodingMatrixError on the same config
+        # with Ndelay=10)
+        from lightweaver_tpu.ops.ng import NgOptions
+        ngOptions = NgOptions(Norder=2, Nperiod=5, Ndelay=50)
     export(ctx, outdir, prd=config.endswith('_prd'),
-           stokes=config.endswith('_stokes'))
+           stokes=config.endswith('_stokes'), ngOptions=ngOptions)

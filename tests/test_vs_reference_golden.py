@@ -256,6 +256,135 @@ def test_stokes_converged_vs_reference():
 
 
 @pytest.mark.slow
+def test_multi_atom_ng_converged_vs_reference():
+    """BASELINE config 2 (multi-atom active set with Ng acceleration):
+    H_6 + Ca II + Na I active (Mg II passive, enriching the background),
+    Ng(Norder=2, Nperiod=5, Ndelay=50) on every active atom, wired into
+    the compiled reference exactly as the Cython layer does
+    (LwMiddleLayer.pyx:2421-2422, Ng.hpp:31-115).
+
+    Ndelay matters: engaging Ng at Ndelay=10 on this problem extrapolates
+    the pre-asymptotic iterates to negative populations and the stat-eq
+    solve goes singular in BOTH implementations (the reference throws
+    Singular Matrix, we raise ExplodingMatrixError) -- agreement even in
+    failure. At Ndelay=50 both converge in exactly 221 iterations;
+    pops agree to ~1e-7 and J/I to ~3e-7 (Ng extrapolation compounds
+    rounding differences; plain CRD tracks at 1e-10)."""
+    from lightweaver_tpu.iterate_ctx import iterate_ctx_se
+    from lightweaver_tpu.ops.ng import NgOptions
+    from lightweaver_tpu.rh_atoms import MgII_atom, NaI_atom
+    ref = np.load(os.path.join(GOLDEN, 'falc_multi_ng_ref.npz'))
+    inputs = np.load(os.path.join(GOLDEN, 'falc_multi_ng_inputs.npz'))
+
+    atmos = Falc82()
+    atmos.quadrature(5)
+    rs = RadiativeSet([H_6_atom(), CaII_atom(), NaI_atom(), MgII_atom()])
+    rs.set_active('H', 'Ca', 'Na')
+    spect = rs.compute_wavelength_grid()
+    eqPops = rs.compute_eq_pops(atmos)
+    c = Context(atmos, spect, eqPops, formalSolver='piecewise_bezier3_1d',
+                ngOptions=NgOptions(Norder=2, Nperiod=5, Ndelay=50))
+
+    # input reproducibility (golden staleness fails loudly)
+    np.testing.assert_allclose(np.asarray(c.spect.wavelength),
+                               inputs['wavelength'], rtol=1e-12)
+    for ia in range(3):
+        np.testing.assert_allclose(np.asarray(c.C[ia]),
+                                   inputs[f'atom{ia}_C'], rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(c.bgChi), inputs['bg_chi'],
+                               rtol=1e-10)
+
+    nIter = iterate_ctx_se(c, NmaxIter=500, quiet=True)
+    assert abs(nIter - int(ref['out_niter'][0])) <= 2
+    for ia in range(3):
+        assert relerr(c.popsState[ia]['n'], ref[f'out_pops_a{ia}']) < 1e-6
+    assert relerr(c.J, ref['out_J']) < 3e-6
+    assert relerr(c.I, ref['out_I']) < 3e-6
+
+
+@pytest.mark.slow
+def test_2d_converged_vs_reference():
+    """BASELINE config 5's 2D leg: Ca II over a horizontally perturbed
+    FAL-C slab (30x8, callable x BCs, linear 2D solver) against the
+    compiled reference running piecewise_linear_2d + interp_linear_2d
+    (FormalScalar2d.cpp) on byte-identical inputs.
+
+    The comparison injects RefBugCompatXLower, which reproduces a genuine
+    index-swap bug in the reference (`I(j, k) = 0.0` instead of
+    `I(k, j)` in the starting-plane BC loop, FormalScalar2d.cpp:570):
+    every down pass zeroes the first Nx-1 z-rows of the callable fixed
+    x-lower column.  With the compat BC both sides track to ~1e-13 in J
+    and Gamma at every iteration and converge in the same 154 iterations;
+    with the correct (default) BC our solver matches a literal numpy
+    transcription of the reference algorithm per-ray at ~1e-13, so the
+    production physics is validated independently of the bug."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..',
+                                    'scripts', 'refgold'))
+    from export_inputs import RefBugCompatXLower, build_2d_atmos
+    from lightweaver_tpu.iterate_ctx import iterate_ctx_se
+    ref = np.load(os.path.join(GOLDEN, 'falc2d_ca_ref.npz'))
+    inputs = np.load(os.path.join(GOLDEN, 'falc2d_ca_inputs.npz'))
+
+    atmos = build_2d_atmos()
+    atmos.xLowerBc = RefBugCompatXLower(0)
+    rs = RadiativeSet([H_6_atom(), CaII_atom()])
+    rs.set_active('Ca')
+    spect = rs.compute_wavelength_grid()
+    eqPops = rs.compute_eq_pops(atmos)
+    c = Context(atmos, spect, eqPops, formalSolver='piecewise_linear_2d')
+
+    # input reproducibility (golden staleness fails loudly)
+    np.testing.assert_allclose(np.asarray(c.spect.wavelength),
+                               inputs['wavelength'], rtol=1e-12)
+    np.testing.assert_allclose(c.atmos.temperature, inputs['temperature'],
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(c.bgChi), inputs['bg_chi'],
+                               rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(c.C[0]), inputs['atom0_C'],
+                               rtol=1e-10)
+
+    nIter = iterate_ctx_se(c, NmaxIter=500, quiet=True)
+    assert nIter == int(ref['out_niter'][0])
+    assert relerr(c.popsState[0]['n'], ref['out_pops_a0']) < 1e-8
+    assert relerr(c.J, ref['out_J']) < 1e-8
+    assert relerr(np.asarray(c.I).reshape(ref['out_I'].shape),
+                  ref['out_I']) < 1e-8
+
+
+@pytest.mark.slow
+def test_2d_besser_converged_vs_reference():
+    """Same 2D problem with the reference's DEFAULT 2D solver,
+    piecewise_besser_2d (BESSER along-ray integration with monotonic
+    Bezier control points from the downwind intersection,
+    FormalScalar2d.cpp:950-1000) + interp_linear_2d.  The besser variant
+    of the reference does NOT have the linear variant's start-plane
+    index-swap bug (it writes `I(k, j) = 0.0` correctly at :880), so no
+    compat BC is needed.  Both sides converge in exactly 218 iterations;
+    pops/J/I agree to ~4e-12."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..',
+                                    'scripts', 'refgold'))
+    from export_inputs import build_2d_atmos
+    from lightweaver_tpu.iterate_ctx import iterate_ctx_se
+    ref = np.load(os.path.join(GOLDEN, 'falc2d_ca_besser_ref.npz'))
+
+    atmos = build_2d_atmos()
+    rs = RadiativeSet([H_6_atom(), CaII_atom()])
+    rs.set_active('Ca')
+    spect = rs.compute_wavelength_grid()
+    eqPops = rs.compute_eq_pops(atmos)
+    c = Context(atmos, spect, eqPops, formalSolver='piecewise_besser_2d')
+
+    nIter = iterate_ctx_se(c, NmaxIter=500, quiet=True)
+    assert nIter == int(ref['out_niter'][0])
+    assert relerr(c.popsState[0]['n'], ref['out_pops_a0']) < 1e-9
+    assert relerr(c.J, ref['out_J']) < 1e-9
+    assert relerr(np.asarray(c.I).reshape(ref['out_I'].shape),
+                  ref['out_I']) < 1e-9
+
+
+@pytest.mark.slow
 def test_prd_converged_vs_reference():
     """BASELINE config 3 (H Ly-alpha/beta + Mg II h&k in PRD): converge the
     full MALI + PRD-redistribution loop and compare against the compiled
