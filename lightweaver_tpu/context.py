@@ -1834,8 +1834,18 @@ class Context:
             nextLam = w[np.minimum(np.arange(cfg.Nlam) + 1, cfg.Nlam - 1)]
             lo = prevLam[:, None] * facs[None, :]         # [Nlam, M]
             hi = nextLam[:, None] * facs[None, :]
-            iLo = np.searchsorted(w, lo, side='left')
-            iHi = np.searchsorted(w, hi, side='right')
+            # the reference's scan (Prd.cpp:766-793) is inclusive one
+            # grid point on EACH side: the rollback lands on the largest
+            # w <= prevLambda and checks it, and the forward loop checks
+            # prdActive BEFORE the lambdaI > nextLambda break -- both
+            # points enter the criterion.  This puts the first grid
+            # point outside each PRD window into the hPRD subset, which
+            # matters: those scattering-dominated edge wavelengths then
+            # get the same number of scattering relaxations per
+            # redistribution as the reference gives them.
+            iLo = np.maximum(np.searchsorted(w, lo, side='right') - 1, 0)
+            iHi = np.minimum(np.searchsorted(w, hi, side='right') + 1,
+                             cfg.Nlam)
             cum = np.concatenate([[0], np.cumsum(prdActive)])
             scatters = (cum[iHi] - cum[iLo]) > 0
             prdActive |= scatters.any(axis=1)

@@ -93,6 +93,7 @@ int main(int argc, char** argv)
     int prdSubIter = 3;
     int stokesMode = 0;
     int ngOrder = 0, ngPeriod = 0, ngDelay = 0;
+    int hprdMode = 0;
     double JTol = 5e-3, popsTol = 1e-3, prdTol = 1e-2;
     std::string zLower = "THERMALISED", zUpper = "ZERO";
     std::string xLower = "PERIODIC", xUpper = "PERIODIC";
@@ -127,6 +128,7 @@ int main(int argc, char** argv)
         else if (key == "prdTol") mf >> prdTol;
         else if (key == "stokes") mf >> stokesMode;
         else if (key == "ng") mf >> ngOrder >> ngPeriod >> ngDelay;
+        else if (key == "hprd") mf >> hprdMode;
         else if (key == "zLowerBc") mf >> zLower;
         else if (key == "zUpperBc") mf >> zUpper;
         else if (key == "xLowerBc") mf >> xLower;
@@ -499,7 +501,20 @@ int main(int argc, char** argv)
     FsIterationFnsManager iterManager;
     ctx.iterFns = iterManager.fns[0];
 
+    if (hprdMode)
+    {
+        // hybrid PRD: build the JRest/JCoeffs machinery and the per-line
+        // shifted-rho coefficients exactly as LwContext does when
+        // hprd=True (Prd.cpp:697-945).  MUST run before
+        // initialise_threads: the per-thread intensity cores capture
+        // views of spect.JRest and each transition's hPrdCoeffs
+        // (ThreadStorage.cpp:58,251) at thread-init time
+        // (LwMiddleLayer.pyx:2957 configures in __init__, threads later).
+        configure_hprd_coeffs(ctx, false);
+    }
+
     ctx.initialise_threads();
+
 
     // ---- Benchmark mode: time formal_sol_gamma_matrices only ---------------
     if (const char* bi = std::getenv("REFGOLD_BENCH_ITERS"))
@@ -531,6 +546,8 @@ int main(int argc, char** argv)
             // Gamma <- crsw * C with crsw = 1 (LwMiddleLayer.pyx:3198-3203)
             std::copy(holder->C.begin(), holder->C.end(), holder->Gamma.begin());
         }
+        if (std::getenv("REFGOLD_VERBOSE"))
+            std::fprintf(stderr, "iter %d begin\n", it);
         IterationResult fsResult;
         if (it == 0 && Ndim == 2 && std::getenv("REFGOLD_DUMP_ZPLANE"))
         {
@@ -575,6 +592,8 @@ int main(int argc, char** argv)
         double dPopsMax = 0.0;
         for (auto& holder : atoms)
         {
+            if (std::getenv("REFGOLD_VERBOSE"))
+                std::fprintf(stderr, "  stat_eq atom\n");
             stat_eq(ctx, &holder->atom);
             holder->atom.ng.accelerate(holder->atom.n.flatten());
             auto change = holder->atom.ng.max_change();
@@ -587,7 +606,11 @@ int main(int argc, char** argv)
             for (auto* th : holder->trans)
                 havePrd = havePrd || (bool)th->trans.rhoPrd;
         if (havePrd)
+        {
+            if (std::getenv("REFGOLD_VERBOSE"))
+                std::fprintf(stderr, "  redistribute\n");
             redistribute_prd_lines(ctx, prdSubIter, prdTol);
+        }
 
         if (fsResult.dJMax < JTol && dPopsMax < popsTol)
         {

@@ -127,8 +127,13 @@ def build_ctx(config: str):
     elif config == 'falc_ca':
         rs = RadiativeSet([H_6_atom(), CaII_atom()])
         rs.set_active('Ca')
-    elif config == 'falc_h6mg_prd':
+    elif config in ('falc_h6mg_prd', 'falc_h6mg_hprd'):
         from lightweaver_tpu.rh_atoms import MgII_atom
+        if config.endswith('_hprd'):
+            # hybrid PRD needs a macroscopic velocity field: a smooth
+            # 0..5 km/s outflow ramp over the FAL-C height grid
+            atmos.vlos = 5e3 * (atmos.height - atmos.height.min()) \
+                / (atmos.height.max() - atmos.height.min())
         rs = RadiativeSet([H_6_atom(), MgII_atom()])
         rs.set_active('H', 'Mg')
     elif config == 'falc_multi_ng':
@@ -151,11 +156,13 @@ def build_ctx(config: str):
         raise ValueError(f'unknown config {config}')
     spect = rs.compute_wavelength_grid()
     eqPops = rs.compute_eq_pops(atmos)
-    ctx = Context(atmos, spect, eqPops, formalSolver='piecewise_bezier3_1d')
+    ctx = Context(atmos, spect, eqPops, formalSolver='piecewise_bezier3_1d',
+                  hprd=config.endswith('_hprd'))
     return ctx
 
 
-def export(ctx, outdir, prd=False, stokes=False, ngOptions=None):
+def export(ctx, outdir, prd=False, stokes=False, ngOptions=None,
+           hprd=False):
     """prd=True marks PRD lines in the manifest (and exports their elastic
     rates) so the driver runs redistribute_prd_lines; older CRD configs
     (falc_h6ca) keep PRD-typed lines in CRD on both sides.  stokes=True
@@ -238,6 +245,8 @@ def export(ctx, outdir, prd=False, stokes=False, ngOptions=None):
     lines.append('prdTol 1e-2')
     if stokes:
         lines.append('stokes 1')
+    if hprd:
+        lines.append('hprd 1')
     if ngOptions is not None:
         lines.append(f'ng {ngOptions.Norder} {ngOptions.Nperiod} '
                      f'{ngOptions.Ndelay}')
@@ -308,5 +317,7 @@ if __name__ == '__main__':
         # with Ndelay=10)
         from lightweaver_tpu.ops.ng import NgOptions
         ngOptions = NgOptions(Norder=2, Nperiod=5, Ndelay=50)
-    export(ctx, outdir, prd=config.endswith('_prd'),
-           stokes=config.endswith('_stokes'), ngOptions=ngOptions)
+    export(ctx, outdir,
+           prd=config.endswith('_prd') or config.endswith('_hprd'),
+           stokes=config.endswith('_stokes'), ngOptions=ngOptions,
+           hprd=config.endswith('_hprd'))

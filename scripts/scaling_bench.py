@@ -75,6 +75,33 @@ def run_mesh():
               flush=True)
 
 
+def run_mesh_weak(colsPerDev=32):
+    """Weak scaling: fixed per-device work (colsPerDev columns each).
+
+    Ideal weak scaling keeps s_per_iter constant as devices (and total
+    columns) grow; efficiency = t(1 dev) / t(N dev).  The columns axis
+    is embarrassingly parallel (scripts/comm_analysis.py shows the
+    partitioner inserts ZERO collectives on it), so efficiency here
+    measures only partitioning overhead on the virtual CPU mesh."""
+    import jax
+    jax.config.update('jax_platforms', 'cpu')
+    jax.config.update('jax_enable_x64', True)
+    from lightweaver_tpu.parallel import make_mesh
+    ndev = len(jax.devices())
+    assert ndev >= 8, f'need 8 virtual devices, got {ndev}'
+    results = {}
+    for n in (1, 2, 4, 8):
+        mesh = (make_mesh(nColumns=n, nWavelength=1,
+                          devices=jax.devices()[:n]) if n > 1 else None)
+        batch = build_batch(colsPerDev * n, mesh=mesh)
+        results[n] = time_iters(batch)
+        print(json.dumps({'mode': 'mesh-weak', 'ndev': n,
+                          'cols': colsPerDev * n,
+                          's_per_iter': results[n],
+                          'efficiency': results[1] / results[n]}),
+              flush=True)
+
+
 def run_tpu(nCols=2048):
     import jax
     dev = jax.devices()[0]
@@ -106,4 +133,5 @@ def run_tpu10k(nCols=10240):
 
 if __name__ == '__main__':
     mode = sys.argv[1] if len(sys.argv) > 1 else 'mesh'
-    {'mesh': run_mesh, 'tpu': run_tpu, 'tpu10k': run_tpu10k}[mode]()
+    {'mesh': run_mesh, 'mesh-weak': run_mesh_weak, 'tpu': run_tpu,
+     'tpu10k': run_tpu10k}[mode]()

@@ -385,6 +385,66 @@ def test_2d_besser_converged_vs_reference():
 
 
 @pytest.mark.slow
+def test_hprd_converged_vs_reference():
+    """Hybrid PRD (BASELINE config 3 + a 0..5 km/s outflow ramp):
+    Doppler-shift-coherent redistribution in the comoving frame, against
+    the compiled reference running configure_hprd_coeffs
+    (Prd.cpp:697-945) + redistribute_prd_lines on byte-identical inputs.
+
+    Both sides converge in exactly 297 iterations; pops/rho agree to
+    ~5e-10 and J/I to ~1e-10 amplitude-normalised at every wavelength.
+
+    This agreement requires the hPRD wavelength SUBSET to match the
+    reference's scan semantics exactly (Prd.cpp:766-793 is inclusive one
+    grid point below prevLambda and one above nextLambda, which puts the
+    first point outside each PRD window into the subset): those
+    scattering-dominated near-empty edge wavelengths converge only as
+    far as the number of scattering relaxations they receive, so a
+    subset-membership difference shows up as an O(1) relative difference
+    in their femto-scale emergent intensity even when every rate,
+    population, and rho matches at 1e-10."""
+    from lightweaver_tpu.iterate_ctx import iterate_ctx_se
+    from lightweaver_tpu.rh_atoms import MgII_atom
+    ref = np.load(os.path.join(GOLDEN, 'falc_h6mg_hprd_ref.npz'))
+    inputs = np.load(os.path.join(GOLDEN, 'falc_h6mg_hprd_inputs.npz'))
+
+    atmos = Falc82()
+    atmos.quadrature(5)
+    atmos.vlos = 5e3 * (atmos.height - atmos.height.min()) \
+        / (atmos.height.max() - atmos.height.min())
+    rs = RadiativeSet([H_6_atom(), MgII_atom()])
+    rs.set_active('H', 'Mg')
+    spect = rs.compute_wavelength_grid()
+    eqPops = rs.compute_eq_pops(atmos)
+    c = Context(atmos, spect, eqPops, formalSolver='piecewise_bezier3_1d',
+                hprd=True)
+
+    # input reproducibility (golden staleness fails loudly)
+    np.testing.assert_allclose(np.asarray(c.spect.wavelength),
+                               inputs['wavelength'], rtol=1e-12)
+    np.testing.assert_allclose(atmos.vlos, inputs['vz'], rtol=1e-12)
+
+    nIter = iterate_ctx_se(c, NmaxIter=500, prd=True, quiet=True)
+    assert abs(nIter - int(ref['out_niter'][0])) <= 2
+
+    assert relerr(c.popsState[0]['n'], ref['out_pops_a0']) < 1e-7
+    assert relerr(c.popsState[1]['n'], ref['out_pops_a1']) < 1e-7
+    for ai, a in enumerate(c.activeAtoms):
+        for ti, t in enumerate(a.trans):
+            if t.isLine and t.isPrd:
+                assert relerr(c.rhoPrd[ai][ti],
+                              ref[f'out_rho_a{ai}t{ti}']) < 1e-7, (ai, ti)
+    # amplitude-normalised per wavelength (J/I span ~12 decades over
+    # lambda; plain relative error at femto-scale depths is meaningless)
+    for ours, name in ((c.J, 'out_J'), (c.I, 'out_I')):
+        ours = np.asarray(ours)
+        refA = ref[name]
+        d = (np.abs(ours - refA).max(axis=1)
+             / np.abs(refA).max(axis=1))
+        assert d.max() < 1e-7, (name, d.max())
+
+
+@pytest.mark.slow
 def test_prd_converged_vs_reference():
     """BASELINE config 3 (H Ly-alpha/beta + Mg II h&k in PRD): converge the
     full MALI + PRD-redistribution loop and compare against the compiled
