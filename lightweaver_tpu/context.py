@@ -1380,9 +1380,11 @@ class Context:
         return dCs
 
     def nr_post_update(self, fdCollisionRates: bool = True,
-                       hOnly: bool = False, timeDependentData=None) -> float:
+                       hOnly: bool = False, timeDependentData=None,
+                       stepLimit: bool = True) -> float:
         """Newton-Raphson charge-conservation update of (populations, ne).
-        Returns the max relative change in ne.
+        Returns the max relative change in ne.  stepLimit=False takes the
+        reference's raw Newton step (see nr_update.build_nr_fn).
         ref: /root/reference/lightweaver/nr_update.py:7-106"""
         from .atomic_table import PeriodicTable
         from .nr_update import build_nr_fn
@@ -1411,7 +1413,7 @@ class Context:
         dCs = (self._fd_dC(atoms, atomIdx, crswVal)
                if fdCollisionRates else None)
 
-        key = (len(atoms), timeDep, fdCollisionRates)
+        key = (len(atoms), timeDep, fdCollisionRates, stepLimit)
         if getattr(self, '_nrFnKey', None) != key:
             Nlevels = [a.Nlevel for a in atoms]
             stagesList = [np.array([l.stage for l in a.model.levels],
@@ -1419,7 +1421,8 @@ class Context:
             contPairs = [[(t.i, t.j) for t in a.trans if not t.isLine]
                          for a in atoms]
             self._nrFn = build_nr_fn(Nlevels, stagesList, contPairs,
-                                     timeDep, self.dtype)
+                                     timeDep, self.dtype,
+                                     stepLimit=stepLimit)
             self._nrFnKey = key
 
         Gammas = [self._Gamma[ai] for ai in atomIdx]

@@ -26,11 +26,15 @@ from .ops.linalg import batched_solve
 
 def build_nr_fn(Nlevels: Sequence[int], stagesList: Sequence[np.ndarray],
                 contPairs: Sequence[Sequence[Tuple[int, int]]],
-                timeDep: bool, dtype):
+                timeDep: bool, dtype, stepLimit: bool = True):
     """Build the jitted batched NR step for a static atom structure.
 
     Nlevels: per-atom level counts; stagesList: per-atom ionisation stages
     [Nl]; contPairs: per-atom list of continuum (i, j) level pairs.
+    stepLimit: apply the positivity-preserving step scaling (our
+    improvement over the reference's raw Newton step, which can drive
+    populations negative on hard starts; set False for bitwise parity
+    with nr_post_update_impl, UpdatePopulations.cpp:292-395).
     Returns fn(Gammas, ns, nTotals, Cs, dCs, ne, backgroundNe, crsw
                [, dt, nPrevs]) -> (newNs, newNe).
     """
@@ -94,24 +98,27 @@ def build_nr_fn(Nlevels: Sequence[int], stagesList: Sequence[np.ndarray],
 
         delta = batched_solve(dF, -F)                       # [Nk, Neqn]
 
-        # positivity-preserving step limiting: scale the whole Newton
-        # step per depth point so no population (or ne) is driven below
-        # 10% of its current value.  Full steps are taken near the
-        # solution (s -> 1); far from it this prevents the catastrophic
-        # overshoots a raw Newton produces on hard starts.
-        x = jnp.concatenate([jnp.moveaxis(n, -1, 0) for n in ns]
-                            + [ne[:, None]], axis=1)        # [Nk, Neqn]
-        shrinkRatio = jnp.where(delta < 0.0,
-                                -x / jnp.where(delta < 0.0, delta, -1.0),
-                                jnp.inf)
-        growthRatio = jnp.where(delta > 0.0,
-                                9.0 * x / jnp.where(delta > 0.0, delta,
-                                                    1.0),
-                                jnp.inf)
-        s = jnp.minimum(1.0, jnp.minimum(
-            0.9 * jnp.min(shrinkRatio, axis=1),
-            jnp.min(growthRatio, axis=1)))
-        delta = delta * s[:, None]
+        if stepLimit:
+            # positivity-preserving step limiting: scale the whole Newton
+            # step per depth point so no population (or ne) is driven
+            # below 10% of its current value.  Full steps are taken near
+            # the solution (s -> 1); far from it this prevents the
+            # catastrophic overshoots a raw Newton produces on hard
+            # starts.
+            x = jnp.concatenate([jnp.moveaxis(n, -1, 0) for n in ns]
+                                + [ne[:, None]], axis=1)    # [Nk, Neqn]
+            shrinkRatio = jnp.where(delta < 0.0,
+                                    -x / jnp.where(delta < 0.0, delta,
+                                                   -1.0),
+                                    jnp.inf)
+            growthRatio = jnp.where(delta > 0.0,
+                                    9.0 * x / jnp.where(delta > 0.0,
+                                                        delta, 1.0),
+                                    jnp.inf)
+            s = jnp.minimum(1.0, jnp.minimum(
+                0.9 * jnp.min(shrinkRatio, axis=1),
+                jnp.min(growthRatio, axis=1)))
+            delta = delta * s[:, None]
 
         newNs = []
         offset = 0

@@ -94,6 +94,9 @@ int main(int argc, char** argv)
     int stokesMode = 0;
     int ngOrder = 0, ngPeriod = 0, ngDelay = 0;
     int hprdMode = 0;
+    int conserveMode = 0;
+    int tdSteps = 0, tdSubIter = 2;
+    double tdDt = 0.0;
     double JTol = 5e-3, popsTol = 1e-3, prdTol = 1e-2;
     std::string zLower = "THERMALISED", zUpper = "ZERO";
     std::string xLower = "PERIODIC", xUpper = "PERIODIC";
@@ -129,6 +132,8 @@ int main(int argc, char** argv)
         else if (key == "stokes") mf >> stokesMode;
         else if (key == "ng") mf >> ngOrder >> ngPeriod >> ngDelay;
         else if (key == "hprd") mf >> hprdMode;
+        else if (key == "conserve") mf >> conserveMode;
+        else if (key == "timedep") mf >> tdDt >> tdSteps >> tdSubIter;
         else if (key == "zLowerBc") mf >> zLower;
         else if (key == "zUpperBc") mf >> zUpper;
         else if (key == "xLowerBc") mf >> xLower;
@@ -536,6 +541,59 @@ int main(int argc, char** argv)
         return 0;
     }
 
+    // ---- Time-dependent mode (golden for time_dependent_update) ------------
+    // Nscatter pure Lambda iterations from the LTE start, then tdSteps
+    // backward-Euler steps of tdSubIter (FS + time_dependent_update)
+    // sub-iterations each, exactly the sequence
+    // tests/test_vs_reference_golden.py drives on the lightweaver_tpu
+    // side (ref: UpdatePopulations.cpp:120-152, LwMiddleLayer.pyx
+    // time_dep_update).
+    if (tdSteps > 0)
+    {
+        for (int it = 0; it < Nscatter; ++it)
+        {
+            for (auto& holder : atoms)
+                std::copy(holder->C.begin(), holder->C.end(),
+                          holder->Gamma.begin());
+            formal_sol_gamma_matrices(ctx, false);
+        }
+        std::vector<std::vector<double>> nOldStore(Natoms);
+        for (int step = 0; step < tdSteps; ++step)
+        {
+            for (int ia = 0; ia < Natoms; ++ia)
+            {
+                auto& a = atoms[ia]->atom;
+                nOldStore[ia].assign(a.n.data,
+                                     a.n.data + a.Nlevel * Nspace);
+            }
+            for (int sub = 0; sub < tdSubIter; ++sub)
+            {
+                for (auto& holder : atoms)
+                    std::copy(holder->C.begin(), holder->C.end(),
+                              holder->Gamma.begin());
+                formal_sol_gamma_matrices(ctx, false);
+                for (int ia = 0; ia < Natoms; ++ia)
+                {
+                    auto& a = atoms[ia]->atom;
+                    F64View2D nOld(nOldStore[ia].data(), a.Nlevel, Nspace);
+                    time_dependent_update(ctx, &a, nOld, tdDt,
+                                          ExtraParams{}, -1, -1);
+                }
+            }
+            for (int ia = 0; ia < Natoms; ++ia)
+            {
+                auto& a = atoms[ia]->atom;
+                npyio::save(opath("out_td_step" + std::to_string(step)
+                                  + "_a" + std::to_string(ia) + ".npy"),
+                            a.n.data, {a.Nlevel, Nspace});
+            }
+        }
+        npyio::save(opath("out_J.npy"), Jbuf.data(), {Nspect, Nspace});
+        std::printf("refgold-timedep: %d steps dt=%g done\n", tdSteps,
+                    tdDt);
+        return 0;
+    }
+
     // ---- MALI loop (mirrors iterate_ctx_se, fixed collisional rates) -------
     std::vector<double> dJHist, dPopsHist;
     int itConverged = -1;
@@ -645,6 +703,38 @@ int main(int argc, char** argv)
             }
         }
     }
+    // ---- One NR charge-conservation step on the converged state ------------
+    // Golden for nr_post_update (UpdatePopulations.cpp:229-395): the
+    // collision-rate derivatives dC/dne and the background-species
+    // electron contribution are computed by the Python layer on both
+    // sides (here: exported from lightweaver_tpu's _fd_dC) so the
+    // Newton-Raphson algebra itself is compared on identical inputs.
+    if (conserveMode)
+    {
+        std::vector<NpyArray> dCStore(Natoms);
+        std::vector<F64View3D> dC;
+        for (int ia = 0; ia < Natoms; ++ia)
+        {
+            dCStore[ia] = npyio::load(ipath("atom" + std::to_string(ia)
+                                            + "_dC.npy"));
+            int Nl = atoms[ia]->atom.Nlevel;
+            dC.emplace_back(F64View3D(dCStore[ia].f64.data(), Nl, Nl,
+                                      Nspace));
+        }
+        NpyArray bgNe = npyio::load(ipath("background_ne.npy"));
+        NrTimeDependentData tdData{0.0, {}};
+        nr_post_update(ctx, &ctx.activeAtoms, dC,
+                       F64View(bgNe.f64.data(), Nspace), tdData, 1.0);
+        for (int ia = 0; ia < Natoms; ++ia)
+        {
+            auto& a = atoms[ia]->atom;
+            npyio::save(opath("out_nr_pops_a" + std::to_string(ia)
+                              + ".npy"),
+                        a.n.data, {a.Nlevel, Nspace});
+        }
+        npyio::save(opath("out_nr_ne.npy"), ne.f64.data(), {Nspace});
+    }
+
     // ---- Full-Stokes synthesis on the converged state (config 4) -----------
     if (stokesMode)
     {

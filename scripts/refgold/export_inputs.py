@@ -121,10 +121,10 @@ def build_ctx(config: str):
         return Context(atmos, spect, eqPops, formalSolver=solver)
     atmos = Falc82()
     atmos.quadrature(5)
-    if config == 'falc_h6ca':
+    if config in ('falc_h6ca', 'falc_h6ca_nr'):
         rs = RadiativeSet([H_6_atom(), CaII_atom()])
         rs.set_active('H', 'Ca')
-    elif config == 'falc_ca':
+    elif config in ('falc_ca', 'falc_ca_timedep'):
         rs = RadiativeSet([H_6_atom(), CaII_atom()])
         rs.set_active('Ca')
     elif config in ('falc_h6mg_prd', 'falc_h6mg_hprd'):
@@ -162,7 +162,7 @@ def build_ctx(config: str):
 
 
 def export(ctx, outdir, prd=False, stokes=False, ngOptions=None,
-           hprd=False):
+           hprd=False, timedep=None, conserve=False):
     """prd=True marks PRD lines in the manifest (and exports their elastic
     rates) so the driver runs redistribute_prd_lines; older CRD configs
     (falc_h6ca) keep PRD-typed lines in CRD on both sides.  stokes=True
@@ -247,6 +247,26 @@ def export(ctx, outdir, prd=False, stokes=False, ngOptions=None,
         lines.append('stokes 1')
     if hprd:
         lines.append('hprd 1')
+    if conserve:
+        # NR charge-conservation golden: export the fd dC/dne and the
+        # background-species electron contribution the Python layer
+        # computes (nr_post_update's inputs on both sides)
+        lines.append('conserve 1')
+        from lightweaver_tpu.atomic_table import PeriodicTable
+        atoms = ctx.cfg.activeAtoms
+        dCs = ctx._fd_dC(atoms, list(range(len(atoms))), 1.0)
+        for ia, dCa in enumerate(dCs):
+            save(f'atom{ia}_dC', dCa)
+        bgModels = (ctx.spect.radSet.detailedAtoms
+                    + ctx.spect.radSet.passiveAtoms)
+        backgroundNe = np.zeros_like(np.asarray(ctx.atmos.ne))
+        for m in bgModels:
+            stages = np.array([l.stage for l in m.levels], np.float64)
+            nPop = ctx.eqPops.atomicPops[m.element].n
+            backgroundNe += np.sum(stages[:, None] * nPop, axis=0)
+        save('background_ne', backgroundNe)
+    if timedep is not None:
+        lines.append('timedep {} {} {}'.format(*timedep))
     if ngOptions is not None:
         lines.append(f'ng {ngOptions.Norder} {ngOptions.Nperiod} '
                      f'{ngOptions.Ndelay}')
@@ -317,7 +337,11 @@ if __name__ == '__main__':
         # with Ndelay=10)
         from lightweaver_tpu.ops.ng import NgOptions
         ngOptions = NgOptions(Norder=2, Nperiod=5, Ndelay=50)
+    # time-dependent golden: backward-Euler steps from the LTE start
+    # (dt [s], steps, sub-iterations) -- see driver.cpp timedep mode
+    timedep = (0.2, 6, 2) if config.endswith('_timedep') else None
     export(ctx, outdir,
            prd=config.endswith('_prd') or config.endswith('_hprd'),
            stokes=config.endswith('_stokes'), ngOptions=ngOptions,
-           hprd=config.endswith('_hprd'))
+           hprd=config.endswith('_hprd'), timedep=timedep,
+           conserve=config.endswith('_nr'))

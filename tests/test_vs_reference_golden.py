@@ -445,6 +445,87 @@ def test_hprd_converged_vs_reference():
 
 
 @pytest.mark.slow
+def test_time_dependent_vs_reference():
+    """Backward-Euler time-dependent population updates against the
+    compiled reference's time_dependent_update
+    (UpdatePopulations.cpp:120-152): from the LTE start, 3 Lambda
+    iterations then 6 steps of dt=0.2 s with 2 (FS + update)
+    sub-iterations each, on the Ca II FAL-C problem.  Per-step
+    populations agree to ~2e-8 (the stiff (I - Gamma dt) solves compound
+    ~1e-10 per-iteration formal-solution differences)."""
+    ref = np.load(os.path.join(GOLDEN, 'falc_ca_timedep_ref.npz'))
+    inputs = np.load(os.path.join(GOLDEN, 'falc_ca_timedep_inputs.npz'))
+
+    atmos = Falc82()
+    atmos.quadrature(5)
+    rs = RadiativeSet([H_6_atom(), CaII_atom()])
+    rs.set_active('Ca')
+    spect = rs.compute_wavelength_grid()
+    eqPops = rs.compute_eq_pops(atmos)
+    c = Context(atmos, spect, eqPops, formalSolver='piecewise_bezier3_1d')
+
+    # input reproducibility (golden staleness fails loudly)
+    np.testing.assert_allclose(np.asarray(c.spect.wavelength),
+                               inputs['wavelength'], rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(c.C[0]), inputs['atom0_C'],
+                               rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(c.popsState[0]['n']),
+                               inputs['atom0_n0'], rtol=1e-10)
+
+    dt, nsteps, nsub = 0.2, 6, 2
+    for _ in range(3):
+        c.formal_sol_gamma_matrices()
+    for step in range(nsteps):
+        prev = [c.popsState[0]['n']]
+        for _ in range(nsub):
+            c.formal_sol_gamma_matrices()
+            c.time_dep_update(dt, prev)
+        assert relerr(c.popsState[0]['n'],
+                      ref[f'out_td_step{step}_a0']) < 1e-6, step
+    assert relerr(c.J, ref['out_J']) < 1e-7
+
+
+@pytest.mark.slow
+def test_nr_charge_conservation_vs_reference():
+    """Newton-Raphson charge conservation against the compiled
+    reference's nr_post_update (UpdatePopulations.cpp:229-395): converge
+    the FAL-C H+Ca II CRD problem, then apply ONE NR (populations, ne)
+    update with the finite-difference dC/dne and background-electron
+    contribution computed by our Python layer and fed to BOTH sides
+    (mirroring the reference's Cython/C++ split).  stepLimit=False takes
+    the reference's raw Newton step (our default limits the step to
+    preserve positivity on hard starts -- from this converged but
+    non-charge-conserving state the raw step moves ne by ~30%, so the
+    limiter would bind).  pops agree to ~3e-10, ne to ~4e-12."""
+    ref = np.load(os.path.join(GOLDEN, 'falc_h6ca_nr_ref.npz'))
+    inputs = np.load(os.path.join(GOLDEN, 'falc_h6ca_nr_inputs.npz'))
+
+    from lightweaver_tpu.iterate_ctx import iterate_ctx_se
+    atmos = Falc82()
+    atmos.quadrature(5)
+    rs = RadiativeSet([H_6_atom(), CaII_atom()])
+    rs.set_active('H', 'Ca')
+    spect = rs.compute_wavelength_grid()
+    eqPops = rs.compute_eq_pops(atmos)
+    c = Context(atmos, spect, eqPops, formalSolver='piecewise_bezier3_1d')
+
+    nIter = iterate_ctx_se(c, NmaxIter=500, quiet=True)
+    assert abs(nIter - int(ref['out_niter'][0])) <= 2
+
+    # the exported dC/backgroundNe must match what we derive today
+    dCs = c._fd_dC(c.cfg.activeAtoms, [0, 1], 1.0)
+    for ia in range(2):
+        np.testing.assert_allclose(np.asarray(dCs[ia]),
+                                   inputs[f'atom{ia}_dC'], rtol=1e-10)
+
+    c.nr_post_update(fdCollisionRates=True, stepLimit=False)
+    for ia in range(2):
+        assert relerr(c.popsState[ia]['n'],
+                      ref[f'out_nr_pops_a{ia}']) < 1e-7
+    assert relerr(c.atmos.ne, ref['out_nr_ne']) < 1e-9
+
+
+@pytest.mark.slow
 def test_prd_converged_vs_reference():
     """BASELINE config 3 (H Ly-alpha/beta + Mg II h&k in PRD): converge the
     full MALI + PRD-redistribution loop and compare against the compiled
