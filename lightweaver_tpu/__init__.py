@@ -31,10 +31,11 @@ __version__ = '0.1.0'
 from .atmosphere import (Atmosphere, BoundaryCondition, NoBc,
                          PeriodicRadiation, ScaleType, ThermalisedRadiation,
                          ZeroRadiation)
-from .atomic_model import (AtomicLevel, AtomicModel, ExplicitContinuum,
-                           HydrogenicContinuum, LinearCoreExpWings,
-                           LinearQuadrature, LineType, TabulatedQuadrature,
-                           VoigtLine)
+from .atomic_model import (AtomicLevel, AtomicLine, AtomicModel,
+                           ExplicitContinuum, HydrogenicContinuum,
+                           LinearCoreExpWings, LinearQuadrature,
+                           LineProfileResult, LineProfileState, LineType,
+                           TabulatedQuadrature, VoigtLine)
 from .atomic_set import RadiativeSet, SpectrumConfiguration
 from .atomic_table import DefaultAtomicAbundance, PeriodicTable
 from .config import params as configParams

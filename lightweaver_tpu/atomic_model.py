@@ -105,6 +105,36 @@ class LineType(Enum):
 
 
 @dataclass
+class LineProfileState:
+    """Inputs handed to `AtomicLine.compute_phi` so user subclasses can
+    compute custom line profiles (ref:
+    /root/reference/lightweaver/atomic_model.py:389-420).
+
+    `default_voigt_callback(aDamp, vBroad) -> phi [W, Nmu, 2, Nspace]` is
+    the backend's batched Voigt evaluation on this line's wavelength
+    window; custom profiles may call it or return any jax array of the
+    same shape (profiles are recomputed host-side by `update_deps`, so
+    arbitrary jax/numpy code is fine here).
+    """
+    wavelength: np.ndarray          # [W] line window [nm]
+    vlosMu: 'np.ndarray'            # [Nmu, Nspace] projected bulk velocity
+    atmos: object
+    eqPops: object
+    default_voigt_callback: object  # (aDamp [Nk], vBroad [Nk]) -> phi
+    vBroad: Optional[np.ndarray] = None
+
+
+@dataclass
+class LineProfileResult:
+    """Profile plus the damping/elastic-rate data the backend must keep
+    (aDamp feeds PRD gII; Qelast feeds PjQj).
+    ref: /root/reference/lightweaver/atomic_model.py:421-432."""
+    phi: object                     # [W, Nmu, 2, Nspace]
+    aDamp: np.ndarray               # [Nspace]
+    Qelast: np.ndarray              # [Nspace]
+
+
+@dataclass
 class LineQuadrature:
     def setup(self, line):
         pass
@@ -278,6 +308,17 @@ class AtomicLine(AtomicTransition):
         cDop = self.lambda0_m / (4.0 * np.pi)
         aDamp = (Qs.natural + Qs.Qelast) * cDop / vBroad
         return aDamp, Qs.Qelast
+
+    def compute_phi(self, state: LineProfileState) -> LineProfileResult:
+        """Default profile: Voigt via the backend callback.  Subclasses
+        override this to supply custom profiles (ref:
+        /root/reference/lightweaver/atomic_model.py:605-630)."""
+        vBroad = (self.atom.vBroad(state.atmos) if state.vBroad is None
+                  else state.vBroad)
+        aDamp, Qelast = self.damping(state.atmos, state.eqPops,
+                                     vBroad=vBroad)
+        phi = state.default_voigt_callback(aDamp, vBroad)
+        return LineProfileResult(phi=phi, aDamp=aDamp, Qelast=Qelast)
 
 
 @dataclass

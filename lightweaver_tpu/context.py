@@ -34,7 +34,7 @@ import numpy as np
 from . import constants as Const
 from .atmosphere import (Atmosphere, PeriodicRadiation,
                          ThermalisedRadiation, ZeroRadiation)
-from .atomic_model import AtomicLine, AtomicModel
+from .atomic_model import AtomicLine, AtomicModel, LineProfileState
 from .background import basic_background
 from .iteration_update import IterationUpdate
 from .ops.faddeeva import voigt_H
@@ -1168,18 +1168,31 @@ class Context:
                     QelastA.append(None)
                     continue
                 line = lineByIdx[(t.i, t.j)]
-                aDamp, Qelast = line.damping(atmos, self.eqPops)
-                aDampA.append(np.asarray(aDamp))
-                QelastA.append(np.asarray(Qelast))
-                aDamp = jnp.asarray(aDamp, dt)
                 lam = jnp.asarray(t.wavelength, dt)
                 vBase = (lam - t.lambda0) * Const.CLight / t.lambda0   # [W]
                 s = jnp.asarray([-1.0, 1.0], dt)
-                vk = ((vBase[:, None, None, None]
-                       + s[None, None, :, None] * vlosMu[None, :, None, :])
-                      / vBroad[None, None, None, :])
-                phi = (voigt_H(aDamp[None, None, None, :], vk)
-                       / (Const.SqrtPi * vBroad[None, None, None, :]))
+
+                def voigt_cb(aDamp, vB, _vBase=vBase):
+                    aDamp = jnp.asarray(aDamp, dt)
+                    vB = jnp.asarray(vB, dt)
+                    vk = ((_vBase[:, None, None, None]
+                           + s[None, None, :, None]
+                           * vlosMu[None, :, None, :])
+                          / vB[None, None, None, :])
+                    return (voigt_H(aDamp[None, None, None, :], vk)
+                            / (Const.SqrtPi * vB[None, None, None, :]))
+
+                # LineProfileState protocol: user AtomicLine subclasses may
+                # override compute_phi for custom profiles
+                # (ref: /root/reference/lightweaver/atomic_model.py:605-630)
+                res = line.compute_phi(LineProfileState(
+                    wavelength=np.asarray(t.wavelength), vlosMu=vlosMu,
+                    atmos=atmos, eqPops=self.eqPops,
+                    default_voigt_callback=voigt_cb,
+                    vBroad=np.asarray(vBroad)))
+                aDampA.append(np.asarray(res.aDamp))
+                QelastA.append(np.asarray(res.Qelast))
+                phi = jnp.asarray(res.phi, dt)
                 wla = jnp.asarray(t.wlambda, dt)
                 wphi_inv = jnp.einsum('lmdk,l,m->k', phi, wla, 0.5 * wmu)
                 phiA.append(phi)
@@ -1493,17 +1506,24 @@ class Context:
 
     # ------------------------------------------------------------------
     def iterate_on_device(self, NmaxIter: int = 500, Nscatter: int = 3,
-                          JTol: float = 5e-3, popsTol: float = 1e-3):
+                          JTol: float = 5e-3, popsTol: float = 1e-3,
+                          ngOptions=None):
         """Run the full MALI loop (formal solution + Gamma + statistical
         equilibrium + convergence test) as ONE compiled lax.while_loop on
         the device -- zero host round trips until converged.
 
         Covers the standard case: fixed collisions/CRSW, no PRD
-        sub-iterations, no Ng (use the Python driver for those).
+        sub-iterations (use the Python driver for those).  Ng
+        acceleration runs on-device when ``ngOptions`` (an NgOptions) is
+        given: the ring buffer, weighted least-squares extrapolation and
+        max-change all live inside the compiled loop
+        (ops/ng.py:device_ng_accelerate), matching the host Ng class.
         Updates J/I/populations in place; returns (nIter, dJ, dPops).
         ref design goal: SURVEY.md par.7.3 ('the full MALI loop runs
         on-device').
         """
+        from .ops.ng import device_ng_accelerate, device_ng_init
+
         self.compute_collisions()
         if self._iter_fn is None:
             self._iter_fn = jax.jit(
@@ -1515,40 +1535,67 @@ class Context:
             self.eqPops.atomicPops[a.model.element].nTotal, self.dtype)
             for a in self.cfg.activeAtoms]
         dtc = self.dtype
+        No = ngOptions.Norder if ngOptions is not None else 0
+        Np = ngOptions.Nperiod if ngOptions is not None else 0
+        Nd = ngOptions.Ndelay if ngOptions is not None else 0
 
         def body(state):
-            it, J, pops, _dJ, _dPops = state
+            it, J, pops, _dJ, _dPops, hists, cnt = state
             p = dict(baseParams)
             p['J'] = J
             p['pops'] = pops
             out = iterFn(p)
-            popsNew = []
+            popsNew, histsNew = [], []
             dPops = jnp.asarray(0.0, dtc)
+            doSE = it >= Nscatter
+            cntNew = jnp.where(doSE, cnt + 1, cnt)
             for ai in range(len(pops)):
                 nNew = _stat_eq_solve(out['Gamma'][ai], pops[ai],
                                       nTotals[ai]).astype(dtc)
                 # pure-Lambda warmup: keep the initial populations
-                nNew = jnp.where(it < Nscatter, pops[ai], nNew)
-                dPops = jnp.maximum(dPops, jnp.max(jnp.abs(
-                    1.0 - pops[ai] / nNew)))
+                nNew = jnp.where(doSE, nNew, pops[ai])
+                h2, _c2, sol, dMax = device_ng_accelerate(
+                    hists[ai], cnt, nNew.ravel(), No, Np, Nd)
+                # the Ng step (ring store + max_change) only happens on
+                # statistical-equilibrium iterations, like the host driver
+                hists2 = jnp.where(doSE, h2, hists[ai])
+                nNew = jnp.where(doSE, sol.reshape(nNew.shape), nNew)
+                dAtom = jnp.where(doSE, dMax.astype(dtc),
+                                  jnp.asarray(1.0, dtc))
+                dPops = jnp.maximum(dPops, dAtom)
                 popsNew.append(nNew)
-            dPops = jnp.where(it < Nscatter, jnp.asarray(1.0, dtc), dPops)
+                histsNew.append(hists2)
             return (it + 1, out['J'], popsNew, out['dJ'].astype(dtc),
-                    dPops)
+                    dPops, histsNew, cntNew)
 
         def cond(state):
-            it, _J, _pops, dJ, dPops = state
+            it, _J, _pops, dJ, dPops = state[:5]
             return jnp.logical_and(
                 it < NmaxIter,
                 jnp.logical_or(it <= Nscatter,
                                jnp.logical_or(dJ >= JTol,
                                               dPops >= popsTol)))
 
+        hists0, cnt0 = [], jnp.asarray(1, jnp.int32)
+        for st in self.popsState:
+            h, cnt0 = device_ng_init(st['n'].astype(dtc), No)
+            hists0.append(h)
         state0 = (jnp.asarray(0), self.J,
                   [st['n'] for st in self.popsState],
-                  jnp.asarray(1.0, dtc), jnp.asarray(1.0, dtc))
+                  jnp.asarray(1.0, dtc), jnp.asarray(1.0, dtc),
+                  hists0, cnt0)
         runner = jax.jit(lambda s: jax.lax.while_loop(cond, body, s))
-        it, J, pops, dJ, dPops = runner(state0)
+        it, J, pops, dJ, dPops = runner(state0)[:5]
+        # a NaN dJ/dPops makes every cond comparison False, so the loop
+        # exits on the first non-finite state; surface it like the host
+        # path instead of writing NaN populations back
+        for a, n in zip(self.cfg.activeAtoms, pops):
+            if not np.all(np.isfinite(np.asarray(n))):
+                from .utils import ExplodingMatrixError
+                raise ExplodingMatrixError(
+                    f'Non-finite populations for atom {a.model.element.name}'
+                    f' in iterate_on_device after {int(it)} iterations '
+                    '(singular Gamma matrix or diverging Ng extrapolation)')
         self.J = J
         for st, n in zip(self.popsState, pops):
             st['n'] = n

@@ -111,6 +111,69 @@ class Ng:
         self.count = 0
 
 
+def device_ng_init(sol, Norder: int):
+    """Ring-buffer Ng state living on device: (hist [R, L], count),
+    matching ``Ng(Norder, ..., sol=sol)`` (previous[0] = sol, count = 1).
+    For use inside jitted loops (lax.while_loop) -- see
+    Context.iterate_on_device."""
+    import jax.numpy as jnp
+    R = max(Norder + 2, 2)
+    flat = jnp.ravel(sol)
+    hist = jnp.zeros((R, flat.shape[0]), flat.dtype).at[0].set(flat)
+    return hist, jnp.asarray(1, jnp.int32)
+
+
+def device_ng_accelerate(hist, count, sol, Norder: int, Nperiod: int,
+                         Ndelay: int):
+    """Traceable equivalent of :meth:`Ng.accelerate`: store sol [L] into
+    the ring buffer; every Nperiod steps after Ndelay solve the weighted
+    Norder x Norder least-squares extrapolation.  Returns
+    (hist, count, solOut, dMax) where dMax is the max relative change
+    between the last two stored iterates (:meth:`Ng.max_change`).
+
+    Norder/Nperiod/Ndelay are static Python ints.  A non-finite LS solve
+    falls back to the unaccelerated iterate, like the host class."""
+    import jax.numpy as jnp
+
+    from .linalg import solve_KxK_over_depth
+
+    Nperiod = max(Nperiod, 1)
+    Ndelay = max(Ndelay, Nperiod + 2)
+    R = hist.shape[0]
+    No = Norder
+
+    hist = hist.at[count % R].set(sol)
+    count = count + 1
+
+    if No > 0:
+        # prev[i] = previous[(count - 1 - i) % R], i = 0..No+1
+        idxs = (count - 1 - jnp.arange(No + 2)) % R
+        prev = jnp.take(hist, idxs, axis=0)             # [No+2, L]
+        Delta = prev[:-1] - prev[1:]                    # [No+1, L]
+        weight = 1.0 / jnp.abs(sol)                     # [L]
+        d0 = Delta[0]
+        diff = Delta[1:] - d0[None, :]                  # [No, L]
+        b = jnp.sum(weight * d0 * (-diff), axis=1)      # [No]
+        A = jnp.einsum('l,il,jl->ij', weight, diff, diff)
+        coeffs = solve_KxK_over_depth(A[:, :, None], b[:, None])[:, 0]
+        accel = sol + jnp.sum(
+            coeffs[:, None] * (prev[1:No + 1] - prev[0][None, :]), axis=0)
+        ok = jnp.all(jnp.isfinite(accel))
+        doA = jnp.logical_and(
+            count >= Ndelay, (count - Ndelay) % Nperiod == 0)
+        solOut = jnp.where(jnp.logical_and(doA, ok), accel, sol)
+        hist = hist.at[(count - 1) % R].set(solOut)
+    else:
+        solOut = sol
+
+    old = jnp.take(hist, (count - 2) % R, axis=0)
+    cur = jnp.take(hist, (count - 1) % R, axis=0)
+    dMax = jnp.max(jnp.abs(jnp.where(cur != 0.0, (cur - old)
+                                     / jnp.where(cur != 0.0, cur, 1.0),
+                                     0.0)))
+    return hist, count, solOut, dMax
+
+
 class BatchedNg:
     """Per-column Ng acceleration over a batch of independent problems.
 
