@@ -2085,6 +2085,17 @@ class Context:
             },
         }
 
+    def __getstate__(self):
+        """Pickle protocol: the Context pickles through its state dict
+        like the reference's Cython classes do (checkpoint/resume with
+        plain pickle.dump / pickle.load).
+        ref: /root/reference/Source/LwMiddleLayer.pyx:2977-3037."""
+        return self.state_dict()
+
+    def __setstate__(self, state: Dict):
+        ctx = Context.construct_from_state_dict_with(state)
+        self.__dict__.update(ctx.__dict__)
+
     @classmethod
     def construct_from_state_dict_with(cls, state: Dict, atmos=None,
                                        spect=None, eqPops=None) -> 'Context':
@@ -2102,6 +2113,9 @@ class Context:
         Jold = state['J']
         if (len(newLam) == len(oldLam)) and np.allclose(newLam, oldLam):
             ctx.J = jnp.asarray(Jold, ctx.accumDtype)
+            if state.get('I') is not None \
+                    and state['I'].shape == tuple(ctx.I.shape):
+                ctx.I = jnp.asarray(state['I'], ctx.dtype)
         else:
             Jnew = np.empty((len(newLam), Jold.shape[1]))
             for k in range(Jold.shape[1]):
