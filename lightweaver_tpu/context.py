@@ -1611,7 +1611,11 @@ class Context:
         ref: /root/reference/Source/FormalStokes.cpp:9-117"""
         atmos = self.atmos
         if atmos.B is None:
-            raise ValueError('Atmosphere has no magnetic field')
+            # no field: every line is unpolarised and the Stokes solve
+            # degenerates to the scalar formal solution (K = 0)
+            allAtoms = self.cfg.activeAtoms + self.cfg.detailedAtoms
+            self.phi7 = [[None] * len(a.trans) for a in allAtoms]
+            return
         dt = self.dtype
         from .ops.faddeeva import voigt_HF
         vlosMu = jnp.asarray(atmos.vlos_mu(), dt)
@@ -1701,6 +1705,22 @@ class Context:
         cfg = self.cfg
         Nlam, Nmu, Nk = cfg.Nlam, cfg.Nmu, cfg.Nk
         dt = self.dtype
+        if cfg.Ndim == 2 and (updateJ or J20):
+            raise ValueError('2D Stokes synthesis does not support '
+                             'updateJ/J20 (synthesis only)')
+
+        chi7, S4 = self._assemble_stokes_chi_S()
+        chiI = chi7[:, :, 0, :]
+        return self._stokes_solve(chi7, S4, chiI, updateJ=updateJ,
+                                  J20=J20)
+
+    def _assemble_stokes_chi_S(self):
+        """chi7 [Nlam, Nmu, 7, Nk] and S4 [Nlam, Nmu, 4, Nk] for the
+        upgoing polarised formal solution (shared by the 1D and 2D
+        Stokes solvers and by tests)."""
+        cfg = self.cfg
+        Nlam, Nmu, Nk = cfg.Nlam, cfg.Nmu, cfg.Nk
+        dt = self.dtype
         d = 1          # upgoing only
 
         params = self.build_params()
@@ -1765,6 +1785,12 @@ class Context:
                        ((self.bgEta
                          + self.bgSca * self.J.astype(dt))[:, None, :]
                         / chiI)[:, :, None, :])
+        return chi7, S4
+
+    def _stokes_solve(self, chi7, S4, chiI, updateJ=False, J20=False):
+        cfg = self.cfg
+        Nlam, Nmu, Nk = cfg.Nlam, cfg.Nmu, cfg.Nk
+        dt = self.dtype
         if J20:
             # anisotropic scattering source terms from the previous J20
             # (ref FormalStokes.cpp:483-486, 575-582): the mu-dependent
@@ -1781,6 +1807,70 @@ class Context:
                            (wJ20_I[None, :, None] * etaJ20)[:, :, None, :])
             S4 = _slab_add(S4, (0, 0, 1, 0), (Nlam, Nmu, 1, Nk),
                            (wJ20_Q[None, :, None] * etaJ20)[:, :, None, :])
+
+        if cfg.Ndim == 2:
+            # 2D Stokes synthesis: plane sweep with DELO-linear along-ray
+            # steps and a 4x4 matrix ring solve for in-plane coupling --
+            # a capability the reference's Stokes solver rejects
+            # (ref: /root/reference/Source/FormalStokes.cpp:606-621)
+            from .ops.stokes2d import formal_sol_stokes_2d
+            Nz, Nx = cfg.Nz, cfg.Nx
+            lamGrid = jnp.asarray(cfg.wavelength, dt)
+            T2 = self.temperature.reshape(Nz, Nx)
+            params2 = self.build_params()
+            Imu, QuvMu = [], []
+            for mu in range(Nmu):
+                geom = cfg.geom2d[(mu, True)]
+                chi_m = jnp.moveaxis(
+                    chi7[:, mu].reshape(Nlam, 7, Nz, Nx), 1, -1)
+                S_m = jnp.moveaxis(
+                    S4[:, mu].reshape(Nlam, 4, Nz, Nx), 1, -1)
+                chiI_m = chi_m[..., 0]
+                if cfg.lowerThermalised:
+                    # thermalised start plane from the ray's downwind
+                    # intersection, exactly as the scalar 2D path
+                    i0, i1 = Nz - 1, Nz - 2
+                    sA = geom['sAxisZ'][None, :]
+                    sW = jnp.asarray(geom['sW'], dt)[None, :]
+                    sDs = jnp.asarray(geom['sDs'], dt)[None, :]
+                    sJ, sJn = geom['sJ'], geom['sJn']
+                    chi0 = chiI_m[:, i0]
+                    chi1 = chiI_m[:, i1]
+                    chiDw = jnp.where(
+                        sA,
+                        (1.0 - sW) * chi0[:, sJn] + sW * chi1[:, sJn],
+                        (1.0 - sW) * chi1[:, sJ] + sW * chi1[:, sJn])
+                    dtauS = 0.5 * (chi0 + chiDw) * sDs
+                    T0, T1 = T2[i0], T2[i1]
+                    TDw = jnp.where(
+                        sA[0],
+                        (1.0 - sW[0]) * T0[sJn] + sW[0] * T1[sJn],
+                        (1.0 - sW[0]) * T1[sJ] + sW[0] * T1[sJn])
+                    Bn = planck_nu(T0[None, :], lamGrid[:, None])
+                    BnDw = planck_nu(TDw[None, :], lamGrid[:, None])
+                    I0m = Bn - (BnDw - Bn) / dtauS
+                else:
+                    I0m = jnp.zeros((Nlam, Nx), dt)
+                Iupw = jnp.concatenate(
+                    [I0m[..., None], jnp.zeros((Nlam, Nx, 3), dt)],
+                    axis=-1)
+                periodicEff = cfg.xPeriodic or cfg.mux[mu] == 0.0
+                Ibc = None
+                if not periodicEff:
+                    key = ('xLowerBcData' if cfg.mux[mu] >= 0
+                           else 'xUpperBcData')
+                    Ibc = params2[key][:, mu, 1].astype(dt)   # [Nlam, Nz]
+                    j0 = 0 if geom['dj'] > 0 else Nx - 1
+                    Iupw = Iupw.at[:, j0, 0].set(Ibc[:, Nz - 1])
+                    Iupw = Iupw.at[:, j0, 1:].set(0.0)
+                Ifull = formal_sol_stokes_2d(chi_m, S_m, geom, Iupw,
+                                             periodic=periodicEff,
+                                             Ibc=Ibc)
+                Imu.append(Ifull[:, 0, :, 0])                 # [Nlam, Nx]
+                QuvMu.append(jnp.moveaxis(Ifull[:, 0, :, 1:], -1, 0))
+            self.I = jnp.stack(Imu, axis=1)                   # [Nlam,Nmu,Nx]
+            self.Quv = jnp.stack(QuvMu, axis=2)           # [3,Nlam,Nmu,Nx]
+            return IterationUpdate(self, updatedJ=False)
 
         # thermalised lower boundary for Stokes I; Q=U=V=0
         lamGrid = jnp.asarray(cfg.wavelength, dt)
