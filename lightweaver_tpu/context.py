@@ -1173,11 +1173,18 @@ class Context:
                 s = jnp.asarray([-1.0, 1.0], dt)
 
                 def voigt_cb(aDamp, vB, _vBase=vBase):
-                    aDamp = jnp.asarray(aDamp, dt)
-                    vB = jnp.asarray(vB, dt)
-                    vk = ((_vBase[:, None, None, None]
-                           + s[None, None, :, None]
-                           * vlosMu[None, :, None, :])
+                    # Profiles are a one-off host-side setup cost:
+                    # evaluate in f64 regardless of the state dtype, so
+                    # the f32 path gets correctly-rounded phi (f32-native
+                    # evaluation left the MALI fixed point riding on the
+                    # profile's last bits -- rounding-induced dJ limit
+                    # cycles at ~1e-2).
+                    f64 = jnp.float64
+                    aDamp = jnp.asarray(aDamp, f64)
+                    vB = jnp.asarray(vB, f64)
+                    vk = ((jnp.asarray(_vBase, f64)[:, None, None, None]
+                           + jnp.asarray(s, f64)[None, None, :, None]
+                           * jnp.asarray(vlosMu, f64)[None, :, None, :])
                           / vB[None, None, None, :])
                     return (voigt_H(aDamp[None, None, None, :], vk)
                             / (Const.SqrtPi * vB[None, None, None, :]))

@@ -48,7 +48,7 @@ def _cdiv(ar, ai, br, bi):
     return (ar * br + ai * bi) / d, (ai * br - ar * bi) / d
 
 
-def _wofz_parts(x, y):
+def _wofz_parts_impl(x, y):
     """(Re, Im) of w(z) for z = x + iy with y >= 0."""
     L = _WEIDEMAN_L
     # d = L - iz = (L + y) - i x
@@ -66,6 +66,32 @@ def _wofz_parts(x, y):
     # w = (2 p / d + 1/sqrt(pi)) / d
     nr, ni = _cdiv(2.0 * pr, 2.0 * pi, dr, di)
     return _cdiv(nr + _ISQRTPI, ni, dr, di)
+
+
+# Dispatch policy: the ~200-op Horner chain costs ~100 ms/call in eager
+# mode on full profile tensors, so concrete arrays are flattened, padded
+# to the next power-of-two length and run through a jitted 1D kernel --
+# every profile shape shares a handful of cached compilations.  Tracers
+# (calls from inside an enclosing jit) use the impl directly: they are
+# inlined into the outer program and have no dispatch overhead.
+import jax as _jax  # noqa: E402
+
+_wofz_parts_jit = _jax.jit(_wofz_parts_impl)
+
+
+def _wofz_parts(x, y):
+    if isinstance(x, _jax.core.Tracer) or isinstance(y, _jax.core.Tracer):
+        return _wofz_parts_impl(x, y)
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    n = x.size
+    if n == 0:
+        return jnp.zeros_like(x), jnp.zeros_like(x)
+    b = 1 << (n - 1).bit_length()
+    xf = jnp.concatenate([jnp.ravel(x), jnp.zeros(b - n, x.dtype)])
+    yf = jnp.concatenate([jnp.ravel(y), jnp.zeros(b - n, y.dtype)])
+    wr, wi = _wofz_parts_jit(xf, yf)
+    return wr[:n].reshape(x.shape), wi[:n].reshape(x.shape)
 
 
 def wofz(z):
