@@ -28,23 +28,39 @@ from .ops.planck import planck_nu
 __version__ = '0.1.0'
 
 # user-facing API surface (mirrors the reference's package exports)
-from .atmosphere import (Atmosphere, BoundaryCondition, NoBc,
-                         PeriodicRadiation, ScaleType, ThermalisedRadiation,
-                         ZeroRadiation)
+from .atmosphere import (Atmosphere, BoundaryCondition, Layout, NoBc,
+                         PeriodicRadiation, ScaleType, Stratifications,
+                         ThermalisedRadiation, ZeroRadiation)
 from .atomic_model import (AtomicLevel, AtomicLine, AtomicModel,
                            ExplicitContinuum, HydrogenicContinuum,
                            LinearCoreExpWings, LinearQuadrature,
                            LineProfileResult, LineProfileState, LineType,
-                           TabulatedQuadrature, VoigtLine)
-from .atomic_set import RadiativeSet, SpectrumConfiguration
-from .atomic_table import DefaultAtomicAbundance, PeriodicTable
+                           TabulatedQuadrature, VoigtLine, gaunt_bf,
+                           reconfigure_atom)
+from .atomic_set import (RadiativeSet, SpectrumConfiguration, hminus_pops,
+                         lte_pops)
+from .benchmark import benchmark
+from .molecule import MolecularTable
+from .multi import read_multi_atmos
+from .atomic_table import (AtomicAbundance, DefaultAtomicAbundance, Element,
+                           Isotope, KuruczPfTable, PeriodicTable)
 from .config import params as configParams
+from .config import params as ConfigDict
 from .context import Context
 from .fal import Falc82
-from .iterate_ctx import ConvergenceCriteria, iterate_ctx_se
+from .iterate_ctx import (ConvergenceCriteria, DefaultConvergenceCriteria,
+                          iterate_ctx_se)
 from .iteration_update import IterationUpdate
 from .ops.ng import NgOptions
 from .utils import (ConvergenceError, CrswIterator, ExplodingMatrixError,
                     InitialSolution, UnityCrswIterator, air_to_vac,
-                    compute_contribution_fn, compute_radiative_losses,
-                    convert_specific_intensity, vac_to_air)
+                    compute_contribution_fn, compute_height_edges,
+                    compute_radiative_losses, compute_wavelength_edges,
+                    convert_specific_intensity, get_data_path,
+                    get_default_molecule_path, integrate_line_losses, planck,
+                    vac_to_air)
+
+# the reference exposes nr_post_update as a free function monkeypatched
+# onto Context (ref: /root/reference/lightweaver/__init__.py:28-33);
+# here it is a real method, re-exported for drop-in compatibility
+nr_post_update = Context.nr_post_update

@@ -54,6 +54,29 @@ class Stratifications:
     tauRef: np.ndarray
 
 
+@dataclass
+class Layout:
+    """Dimensional layout view of an Atmosphere: grids, velocity
+    components and per-face boundary conditions keyed by dimensionality
+    (ref: /root/reference/lightweaver/atmosphere.py:240-376).  Here it
+    is a read-only view derived from the Atmosphere's flat storage
+    (``Atmosphere.structure``) rather than the storage itself."""
+    Ndim: int
+    x: np.ndarray
+    y: np.ndarray
+    z: np.ndarray
+    vx: np.ndarray
+    vy: np.ndarray
+    vz: np.ndarray
+    xLowerBc: BoundaryCondition
+    xUpperBc: BoundaryCondition
+    yLowerBc: BoundaryCondition
+    yUpperBc: BoundaryCondition
+    zLowerBc: BoundaryCondition
+    zUpperBc: BoundaryCondition
+    stratifications: Optional[Stratifications] = None
+
+
 def _falc_top_pressure(temp: float) -> float:
     """FAL-C-calibrated top-of-atmosphere gas pressure [dyn/cm^2] as a
     function of the top temperature, used when hydrostatic construction
@@ -115,6 +138,26 @@ class Atmosphere:
     @property
     def zUpperBc(self):
         return self.upperBc
+
+    @property
+    def structure(self) -> 'Layout':
+        """Layout view of this atmosphere (ref: the reference's
+        Atmosphere.structure attribute)."""
+        empty = np.array(())
+        nobc = NoBc()
+        if self.Ndim == 2:
+            return Layout(Ndim=2, x=np.asarray(self.x), y=empty,
+                          z=self.zGrid, vx=self.vx, vy=empty, vz=self.vz,
+                          xLowerBc=self.xLowerBc, xUpperBc=self.xUpperBc,
+                          yLowerBc=nobc, yUpperBc=nobc,
+                          zLowerBc=self.lowerBc, zUpperBc=self.upperBc,
+                          stratifications=self.stratifications)
+        return Layout(Ndim=1, x=empty, y=empty, z=self.height,
+                      vx=empty, vy=empty, vz=self.vlos,
+                      xLowerBc=nobc, xUpperBc=nobc,
+                      yLowerBc=nobc, yUpperBc=nobc,
+                      zLowerBc=self.lowerBc, zUpperBc=self.upperBc,
+                      stratifications=self.stratifications)
 
     @property
     def cmass(self):

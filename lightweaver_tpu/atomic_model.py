@@ -27,6 +27,12 @@ def gaunt_bf(wvl, nEff, charge):
             - 0.0496 * x3 ** 2 * (1.0 - (1.0 - nsqx) * (2.0 / 3.0) * nsqx))
 
 
+def reconfigure_atom(atom: 'AtomicModel') -> None:
+    """Re-run all atomic setup after modifying an atom's parameters in
+    place (ref: /root/reference/lightweaver/atomic_model.py:95-99)."""
+    atom.__post_init__()
+
+
 @dataclass
 class AtomicModel:
     """Complete description of a model atom."""

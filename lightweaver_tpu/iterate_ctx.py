@@ -28,6 +28,12 @@ class ConvergenceCriteria:
         return all(terms)
 
 
+# the concrete class above *is* the default implementation; the alias
+# mirrors the reference's abstract-base/Default split
+# (ref: /root/reference/lightweaver/iterate_ctx.py:9-83)
+DefaultConvergenceCriteria = ConvergenceCriteria
+
+
 def iterate_ctx_se(ctx, Nscatter: int = 3, NmaxIter: int = 2000,
                    prd: bool = False, JTol: float = 5e-3,
                    popsTol: float = 1e-3, rhoTol: Optional[float] = None,

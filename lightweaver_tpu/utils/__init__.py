@@ -3,11 +3,41 @@
 ref: /root/reference/lightweaver/utils.py
 """
 import enum
+from pathlib import Path
+
+import numpy as np
 
 from .postprocess import (compute_contribution_fn, compute_radiative_losses,
                           compute_wavelength_edges, integrate_line_losses)
 from .wavelength import air_to_vac, convert_specific_intensity, vac_to_air
 from ..ops.ng import NgOptions
+from ..ops.planck import planck_nu as planck
+
+
+def get_data_path() -> str:
+    """Location of the shipped support data tables
+    (ref: /root/reference/lightweaver/utils.py:131-135)."""
+    import os
+    return str(Path(__file__).resolve().parent.parent / 'data') + os.sep
+
+
+def get_default_molecule_path() -> str:
+    """Location of the default molecule data.  The molecular models ship
+    pre-extracted in data/molecules.json rather than as per-molecule
+    files (ref: /root/reference/lightweaver/utils.py:137-141)."""
+    return get_data_path()
+
+
+def compute_height_edges(ctx) -> np.ndarray:
+    """Edges of the height bins of a simulation's stratified altitude
+    axis, for pcolormesh-style plotting
+    (ref: /root/reference/lightweaver/utils.py:476-496)."""
+    height = np.asarray(ctx.atmos.zGrid if ctx.atmos.Ndim == 2
+                        else ctx.atmos.height)
+    return np.concatenate((
+        (height[0] + 0.5 * (height[0] - height[1]),),
+        0.5 * (height[1:] + height[:-1]),
+        (height[-1] - 0.5 * (height[-2] - height[-1]),)))
 
 
 class InitialSolution(enum.Enum):
