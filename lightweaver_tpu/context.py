@@ -1514,20 +1514,28 @@ class Context:
     # ------------------------------------------------------------------
     def iterate_on_device(self, NmaxIter: int = 500, Nscatter: int = 3,
                           JTol: float = 5e-3, popsTol: float = 1e-3,
-                          ngOptions=None):
+                          ngOptions=None, prd: bool = False,
+                          maxPrdSubIter: int = 3, prdTol: float = 1e-2):
         """Run the full MALI loop (formal solution + Gamma + statistical
         equilibrium + convergence test) as ONE compiled lax.while_loop on
         the device -- zero host round trips until converged.
 
-        Covers the standard case: fixed collisions/CRSW, no PRD
-        sub-iterations (use the Python driver for those).  Ng
-        acceleration runs on-device when ``ngOptions`` (an NgOptions) is
-        given: the ring buffer, weighted least-squares extrapolation and
-        max-change all live inside the compiled loop
-        (ops/ng.py:device_ng_accelerate), matching the host Ng class.
-        Updates J/I/populations in place; returns (nIter, dJ, dPops).
+        Covers fixed collisions/CRSW.  Ng acceleration runs on-device
+        when ``ngOptions`` (an NgOptions) is given: the ring buffer,
+        weighted least-squares extrapolation and max-change all live
+        inside the compiled loop (ops/ng.py:device_ng_accelerate),
+        matching the host Ng class.  With ``prd=True`` the PRD (and
+        hPRD) redistribution sub-iterations also run inside the loop:
+        per-line scattering integrals followed by PRD-subset formal
+        solutions, up to ``maxPrdSubIter`` per MALI iteration or until
+        drho < ``prdTol`` -- the same schedule as the host
+        ``prd_redistribute`` with the reference's default tracking-only
+        Ng (persistent ``prdNgOptions`` stays a host-driver feature).
+        Updates J/I/populations/rho in place; returns
+        (nIter, dJ, dPops).
         ref design goal: SURVEY.md par.7.3 ('the full MALI loop runs
-        on-device').
+        on-device'); PRD schedule ref:
+        /root/reference/Source/PrdTemplates.hpp:176-351.
         """
         from .ops.ng import device_ng_accelerate, device_ng_init
 
@@ -1546,11 +1554,102 @@ class Context:
         Np = ngOptions.Nperiod if ngOptions is not None else 0
         Nd = ngOptions.Ndelay if ngOptions is not None else 0
 
+        prdLines = self._prd_lines() if prd else []
+        if prdLines:
+            if self.cfg.Ndim != 1:
+                raise ValueError('on-device PRD needs a 1D atmosphere')
+            from .ops.prd import prd_scatter_rho
+            if self._prd_fs_fn is None:
+                self._prdSubIdxs = self._prd_subset_idxs()
+                self._prd_fs_fn = jax.jit(build_prd_subset_fn(
+                    self.cfg, self._prdSubIdxs,
+                    [(ai, ti) for ai, ti, a, t in prdLines]))
+            subsetFn = build_prd_subset_fn(
+                self.cfg, self._prdSubIdxs,
+                [(ai, ti) for ai, ti, a, t in prdLines])
+            subJ = jnp.asarray(self._prdSubIdxs)
+            atmos = self.atmos
+            prdConst = []
+            for ai, ti, a, t in prdLines:
+                vBroad = a.model.vBroad(atmos)
+                qWave = ((t.wavelength[:, None] - t.lambda0)
+                         * Const.CLight / (t.lambda0 * vBroad[None, :]))
+                prdConst.append({
+                    'qWave': jnp.asarray(qWave, dtc),
+                    'aDamp': jnp.asarray(self.aDamp[ai][ti], dtc),
+                    'Qelast': jnp.asarray(self.Qelast[ai][ti], dtc)})
+
+            def prd_pjqj(Rij, Rji, ai, t):
+                """Pj + Qj for one line: elastic + collisional + total
+                radiative de/population of the upper level
+                (ref: /root/reference/Source/Prd.cpp:9-30)."""
+                PjQj = jnp.sum(baseParams['C'][ai][:, t.j, :], axis=0)
+                for t2i, t2 in enumerate(self.cfg.activeAtoms[ai].trans):
+                    if t2.j == t.j:
+                        PjQj = PjQj + Rji[ai][t2i]
+                    if t2.i == t.j:
+                        PjQj = PjQj + Rij[ai][t2i]
+                return PjQj
+
+            def prd_substep(carry):
+                si, rho, J, JRest, Rij, Rji, _drho = carry
+                drho = jnp.asarray(0.0, dtc)
+                rhoNew = [list(r) for r in rho]
+                for c, (ai, ti, a, t) in zip(prdConst, prdLines):
+                    PjQj = c['Qelast'] + prd_pjqj(Rij, Rji, ai, t)
+                    # pops are fixed across sub-iterations (like host)
+                    n = pops_ref[0][ai]
+                    gammaPre = (n[t.i] / n[t.j] * t.Bij
+                                / PjQj).astype(dtc)
+                    Jbar = (Rij[ai][ti] / t.Bij).astype(dtc)
+                    if self.cfg.hprd and JRest is not None:
+                        win = jnp.asarray(
+                            self.cfg.laToPrdLa[t.Nblue:t.Nred])
+                        Jw = JRest[win]
+                    else:
+                        Jw = J[t.Nblue:t.Nred]
+                    rNew = prd_scatter_rho(c['qWave'], c['aDamp'],
+                                           Jw.astype(dtc), gammaPre,
+                                           Jbar)
+                    rOld = rho[ai][ti]
+                    rel = jnp.abs(jnp.where(rNew != 0.0,
+                                            (rNew - rOld) / rNew, 0.0))
+                    drho = jnp.maximum(drho, jnp.max(rel).astype(dtc))
+                    rhoNew[ai][ti] = rNew
+                p2 = dict(baseParams)
+                p2['J'] = J
+                p2['pops'] = pops_ref[0]
+                p2['rhoPrd'] = rhoNew
+                out2 = subsetFn(p2)
+                J2 = J.at[subJ].set(out2['J'].astype(J.dtype))
+                Rij2 = [list(r) for r in Rij]
+                Rji2 = [list(r) for r in Rji]
+                for li, (ai, ti, a, t) in enumerate(prdLines):
+                    Rij2[ai][ti] = out2['Rij'][li]
+                    Rji2[ai][ti] = out2['Rji'][li]
+                JRest2 = out2.get('JRest', JRest)
+                return (si + 1, rhoNew, J2, JRest2, Rij2, Rji2, drho)
+
+            def prd_subloop(rho, J, JRest, Rij, Rji):
+                def cond2(carry):
+                    si, _r, _J, _JR, _Rij, _Rji, drho = carry
+                    return jnp.logical_and(si < maxPrdSubIter,
+                                           drho >= prdTol)
+                big = jnp.asarray(np.inf, dtc)
+                st = (jnp.asarray(0), rho, J, JRest, Rij, Rji, big)
+                st = jax.lax.while_loop(cond2, prd_substep, st)
+                return st[1], st[2], st[3], st[4], st[5]
+
+            # mutable cell so prd_substep sees the post-stat-eq pops of
+            # the enclosing MALI iteration at trace time
+            pops_ref = [None]
+
         def body(state):
-            it, J, pops, _dJ, _dPops, hists, cnt = state
+            it, J, pops, _dJ, _dPops, hists, cnt, rho, JRest = state
             p = dict(baseParams)
             p['J'] = J
             p['pops'] = pops
+            p['rhoPrd'] = rho
             out = iterFn(p)
             popsNew, histsNew = [], []
             dPops = jnp.asarray(0.0, dtc)
@@ -1572,8 +1671,22 @@ class Context:
                 dPops = jnp.maximum(dPops, dAtom)
                 popsNew.append(nNew)
                 histsNew.append(hists2)
-            return (it + 1, out['J'], popsNew, out['dJ'].astype(dtc),
-                    dPops, histsNew, cntNew)
+            Jout = out['J']
+            if prdLines:
+                pops_ref[0] = popsNew
+                JRestCur = out.get('JRest', JRest)
+
+                def run_prd(args):
+                    return prd_subloop(*args)
+
+                def skip_prd(args):
+                    return args
+
+                rho, Jout, JRest, _, _ = jax.lax.cond(
+                    doSE, run_prd, skip_prd,
+                    (rho, Jout, JRestCur, out['Rij'], out['Rji']))
+            return (it + 1, Jout, popsNew, out['dJ'].astype(dtc),
+                    dPops, histsNew, cntNew, rho, JRest)
 
         def cond(state):
             it, _J, _pops, dJ, dPops = state[:5]
@@ -1587,12 +1700,21 @@ class Context:
         for st in self.popsState:
             h, cnt0 = device_ng_init(st['n'].astype(dtc), No)
             hists0.append(h)
+        JRest0 = self.JRest
+        if prdLines and self.cfg.hprd and JRest0 is None:
+            JRest0 = jnp.zeros((len(self.cfg.prdIdxs), self.cfg.Nk),
+                               self.J.dtype)
         state0 = (jnp.asarray(0), self.J,
                   [st['n'] for st in self.popsState],
                   jnp.asarray(1.0, dtc), jnp.asarray(1.0, dtc),
-                  hists0, cnt0)
+                  hists0, cnt0, self.rhoPrd, JRest0)
         runner = jax.jit(lambda s: jax.lax.while_loop(cond, body, s))
-        it, J, pops, dJ, dPops = runner(state0)[:5]
+        stateF = runner(state0)
+        it, J, pops, dJ, dPops = stateF[:5]
+        if prdLines:
+            self.rhoPrd = stateF[7]
+            if self.cfg.hprd:
+                self.JRest = stateF[8]
         # a NaN dJ/dPops makes every cond comparison False, so the loop
         # exits on the first non-finite state; surface it like the host
         # path instead of writing NaN populations back
