@@ -31,6 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from .. import constants as Const
 from ..context import Context, build_iteration_fn, _stat_eq_solve
 from ..iteration_update import IterationUpdate
 from ..ops.ng import BatchedNg, NgOptions
@@ -119,6 +120,9 @@ class ColumnBatch:
                                                      lambdaIterate=True)))
         self._stat_eq = jax.jit(jax.vmap(_stat_eq_solve))
         self._GammaOut = None
+        self._Rij = None
+        self._Rji = None
+        self._prd_fs = None
 
     # ------------------------------------------------------------------
     @classmethod
@@ -189,6 +193,8 @@ class ColumnBatch:
         else:
             self.params['J'] = out['J']
         self._GammaOut = out['Gamma']
+        self._Rij = out['Rij']
+        self._Rji = out['Rji']
         self.I = out['I']
         self.dJCol = np.asarray(out['dJ'])                  # [C]
         if self.flatCtx is not None:
@@ -265,9 +271,110 @@ class ColumnBatch:
     def crswDone(self):
         return True
 
+    # ------------------------------------------------------------------
+    def prd_redistribute(self, maxIter: int = 3,
+                         tol: float = 1e-2) -> IterationUpdate:
+        """Batched PRD redistribution: the per-line scattering integral
+        and the PRD-subset formal solution vmapped over columns (angle-
+        averaged PRD; hPRD needs per-column comoving coefficients and
+        stays a single-Context feature).  Converged columns' rho is
+        frozen like their J/populations.
+        ref schedule: /root/reference/Source/PrdTemplates.hpp:176-351"""
+        from ..context import build_prd_subset_fn
+        from ..ops.prd import prd_scatter_rho
+
+        fc = self.flatCtx
+        if fc is None:
+            raise ValueError('PRD needs from_stacked batches')
+        if fc.cfg.hprd:
+            raise ValueError('hPRD is not supported in ColumnBatch')
+        prdLines = fc._prd_lines()
+        if not prdLines:
+            return IterationUpdate(self)
+        if self._Rij is None:
+            raise ValueError('Call formal_sol_gamma_matrices first')
+        C, Nk = self.Ncol, self.NkCol
+
+        if self._prd_fs is None:
+            prdPairs = [(ai, ti) for ai, ti, a, t in prdLines]
+            self._prdSubIdxs = fc._prd_subset_idxs()
+            self._prd_fs = jax.jit(jax.vmap(build_prd_subset_fn(
+                self.cfg, self._prdSubIdxs, prdPairs)))
+            self._prd_scatter = jax.jit(jax.vmap(prd_scatter_rho))
+            self._prdConst = []
+            for ai, ti, a, t in prdLines:
+                vBroad = a.model.vBroad(fc.atmos).reshape(C, Nk)
+                qWave = ((t.wavelength[None, :, None] - t.lambda0)
+                         * Const.CLight
+                         / (t.lambda0 * vBroad[:, None, :]))
+                self._prdConst.append({
+                    'qWave': jnp.asarray(qWave, self.cfg.dtype),
+                    'aDamp': jnp.asarray(
+                        np.asarray(fc.aDamp[ai][ti]).reshape(C, Nk),
+                        self.cfg.dtype),
+                    'Qelast': jnp.asarray(
+                        np.asarray(fc.Qelast[ai][ti]).reshape(C, Nk),
+                        self.cfg.dtype)})
+
+        frozen = jnp.asarray(self.converged)
+        subJ = jnp.asarray(self._prdSubIdxs)
+        dRhoCol = np.zeros(C)
+        nSub = 0
+        for _ in range(maxIter):
+            nSub += 1
+            dRho = jnp.zeros(C, self.cfg.dtype)
+            for c, (ai, ti, a, t) in zip(self._prdConst, prdLines):
+                PjQj = c['Qelast'] + jnp.sum(
+                    self.params['C'][ai][:, :, t.j, :], axis=1)
+                for t2i, t2 in enumerate(self.cfg.activeAtoms[ai].trans):
+                    if t2.j == t.j:
+                        PjQj = PjQj + self._Rji[ai][t2i]
+                    if t2.i == t.j:
+                        PjQj = PjQj + self._Rij[ai][t2i]
+                n = self.params['pops'][ai]
+                gammaPre = (n[:, t.i] / n[:, t.j] * t.Bij / PjQj)
+                Jbar = self._Rij[ai][ti] / t.Bij
+                Jw = self.params['J'][:, t.Nblue:t.Nred]
+                rNew = self._prd_scatter(
+                    c['qWave'], c['aDamp'],
+                    Jw.astype(self.cfg.dtype),
+                    gammaPre.astype(self.cfg.dtype),
+                    Jbar.astype(self.cfg.dtype))
+                rOld = self.params['rhoPrd'][ai][ti]
+                rNew = jnp.where(frozen[:, None, None], rOld, rNew)
+                rel = jnp.abs(jnp.where(rNew != 0.0,
+                                        (rNew - rOld) / rNew, 0.0))
+                dRho = jnp.maximum(dRho, jnp.max(rel, axis=(1, 2)))
+                self.params['rhoPrd'][ai][ti] = rNew
+
+            out = self._prd_fs(self.params)
+            mask = frozen[:, None, None]
+            Jsub = self.params['J'][:, subJ]
+            self.params['J'] = self.params['J'].at[:, subJ].set(
+                jnp.where(mask, Jsub, out['J'].astype(Jsub.dtype)))
+            self._Rij = [list(r) for r in self._Rij]
+            self._Rji = [list(r) for r in self._Rji]
+            for li, (ai, ti, a, t) in enumerate(prdLines):
+                self._Rij[ai][ti] = jnp.where(
+                    frozen[:, None], self._Rij[ai][ti], out['Rij'][li])
+                self._Rji[ai][ti] = jnp.where(
+                    frozen[:, None], self._Rji[ai][ti], out['Rji'][li])
+            dRhoCol = np.asarray(dRho)
+            if np.max(np.where(self.converged, 0.0, dRhoCol)) < tol:
+                break
+
+        self.dRhoCol = dRhoCol
+        upd = IterationUpdate(self, updatedRho=True,
+                              dRho=[float(np.max(np.where(
+                                  self.converged, 0.0, dRhoCol)))],
+                              NprdSubIter=nSub)
+        upd.updatedJ = True
+        return upd
+
     def iterate(self, Nscatter: int = 3, NmaxIter: int = 500,
                 JTol: float = 5e-3, popsTol: float = 1e-3,
-                quiet: bool = True) -> int:
+                quiet: bool = True, prd: bool = False,
+                maxPrdSubIter: int = 3, prdTol: float = 1e-2) -> int:
         """Iterate the batch until every column converges; converged
         columns are frozen (per-column masking) while the rest finish.
         Returns the iteration count of the slowest column; per-column
@@ -277,6 +384,8 @@ class ColumnBatch:
             if it < Nscatter:
                 continue
             pu = self.stat_equil()
+            if prd:
+                self.prd_redistribute(maxIter=maxPrdSubIter, tol=prdTol)
             if self.flatCtx is not None:
                 newConv = ((self.dJCol < JTol) & (self.dPopsCol < popsTol)
                            & ~self.converged)

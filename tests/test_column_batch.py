@@ -134,3 +134,51 @@ def test_batch_conserve_charge():
     iterate_ctx_se(ctx, NmaxIter=300, quiet=True)
     err = np.abs(neB[c] / np.asarray(ctx.atmos.ne) - 1).max()
     assert err < 5e-3, err
+
+
+@pytest.mark.slow
+def test_batch_prd_matches_single_context():
+    """Batched PRD redistribution (vmapped scattering integral + subset
+    FS) follows the standalone Context's PRD trajectory exactly on a
+    batch of identical columns."""
+    from lightweaver_tpu.rh_atoms import H_6_atom as H6
+
+    full = Falc82()
+    idx = np.unique(np.linspace(0, 81, 24).astype(int))
+    Nk = len(idx)
+    C = 3
+    rep = lambda a: np.broadcast_to(a[idx], (C, Nk)).copy()
+    batch = ColumnBatch.from_stacked(
+        full.height[idx], rep(full.temperature), np.zeros((C, Nk)),
+        rep(full.vturb), rep(full.ne), rep(full.nHTot),
+        lambda: [H6()], ('H',), Nrays=3, accelerateScattering=True)
+    nIt = batch.iterate(NmaxIter=200, prd=True, maxPrdSubIter=4,
+                        prdTol=1e-3)
+    assert batch.converged.all()
+    ai, ti, a, t = batch.flatCtx._prd_lines()[0]
+    rhoBatch = np.asarray(batch.params['rhoPrd'][ai][ti])
+    assert np.all(np.isfinite(rhoBatch)) and np.all(rhoBatch > 0)
+    assert np.abs(rhoBatch - 1.0).max() > 0.1    # real PRD departure
+    # identical columns -> identical rho
+    assert np.abs(rhoBatch[0] - rhoBatch[-1]).max() < 1e-12
+
+    atmos = Atmosphere(height=full.height[idx],
+                       temperature=full.temperature[idx].copy(),
+                       vlos=np.zeros(Nk), vturb=full.vturb[idx].copy(),
+                       ne=full.ne[idx].copy(), nHTot=full.nHTot[idx].copy())
+    atmos.quadrature(3)
+    rs = RadiativeSet([H6()])
+    rs.set_active('H')
+    spect = rs.compute_wavelength_grid()
+    eqPops = rs.compute_eq_pops(atmos)
+    ctx = Context(atmos, spect, eqPops, accelerateScattering=True)
+    nThis = int(batch.nIterCol[0])
+    for it in range(nThis):
+        ctx.formal_sol_gamma_matrices()
+        if it >= 3:
+            ctx.stat_equil()
+            ctx.prd_redistribute(maxIter=4, tol=1e-3)
+    n1 = np.asarray(ctx.popsState[0]['n'])
+    rho1 = np.asarray(ctx.rhoPrd[ai][ti])
+    assert np.abs(batch.pops[0][0] / n1 - 1).max() < 1e-8
+    assert np.abs(rhoBatch[0] - rho1).max() < 1e-8
