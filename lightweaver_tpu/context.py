@@ -2389,6 +2389,73 @@ class Context:
 
     # convenience accessors --------------------------------------------
     @property
+    def Nthreads(self) -> int:
+        """Thread-count compatibility shim: XLA owns all scheduling on
+        TPU, so there is exactly one 'thread' and assigning to this is a
+        no-op (ref: /root/reference/Source/LwMiddleLayer.pyx:3100-3123)."""
+        return 1
+
+    @Nthreads.setter
+    def Nthreads(self, value):
+        pass
+
+    @property
+    def hprd(self) -> bool:
+        return self.cfg.hprd
+
+    def _swap_cfg(self, **replacements):
+        """Rebuild the static iteration config and invalidate every
+        cached compiled program (the TPU-form of the reference's plugin
+        re-selection, LwMiddleLayer.pyx:3039-3098)."""
+        import dataclasses
+        self.cfg = dataclasses.replace(self.cfg, **replacements)
+        self._iter_fn = None
+        self._prd_fs_fn = None
+
+    def set_formal_solver(self, name: str):
+        """Select the formal solver by registry name, re-tracing the
+        iteration (ref: LwMiddleLayer.pyx:3039; registry
+        ops/formal_solver.py SOLVER_NAMES_1D + the 2D scheme names)."""
+        from .ops.formal_solver import SOLVER_NAMES_1D
+        valid = tuple(SOLVER_NAMES_1D) + ('piecewise_linear_2d',
+                                          'piecewise_besser_2d')
+        if name not in valid:
+            raise ValueError(f'Unknown formal solver {name!r}; '
+                             f'available: {valid}')
+        self._swap_cfg(formalSolver=name)
+
+    def set_interp_fn(self, name: str):
+        """Select the 2D upwind interpolation function by name
+        (ref: LwMiddleLayer.pyx:3057)."""
+        valid = ('interp_linear_2d', 'interp_besser_2d')
+        if name not in valid:
+            raise ValueError(f'Unknown interpolation function {name!r}; '
+                             f'available: {valid}')
+        self._swap_cfg(interpFn2d=name)
+
+    def set_fs_iter_scheme(self, name: str):
+        """Iteration-scheme selection compatibility shim.  The reference
+        ships per-SIMD variants of one scheme (mali_full_precond_*); on
+        TPU there is a single fused program whose precision/recurrence
+        variants are Context kwargs, so only the canonical name is
+        accepted (ref: LwMiddleLayer.pyx:3077-3098)."""
+        if name.partition('_scalar')[0].partition('_SSE2')[0] \
+               .partition('_AVX')[0] != 'mali_full_precond':
+            raise ValueError(f'Unknown iteration scheme {name!r}; the '
+                             "TPU build implements 'mali_full_precond'")
+
+    def get_fs_iter_scheme_properties(self, fsIterScheme=None) -> dict:
+        """Properties of the (single) iteration scheme, with the
+        reference's key layout
+        (ref: LwMiddleLayer.pyx:4186-4194)."""
+        return {'name': 'mali_full_precond',
+                'Ndim': self.cfg.Ndim,
+                'dimensionSpecific': False,
+                'respectsFormalSolver': True,
+                'defaultPerAtomStorage': True,
+                'defaultWlaGijStorage': True}
+
+    @property
     def activePops(self):
         return {a.model.element.name: np.asarray(st['n'])
                 for a, st in zip(self.cfg.activeAtoms, self.popsState)}

@@ -2,6 +2,7 @@
 (ref: /root/reference/lightweaver/__init__.py), so user scripts written
 against `import lightweaver as lw` port by changing the import line."""
 import numpy as np
+import pytest
 
 import lightweaver_tpu as lw
 
@@ -90,3 +91,48 @@ def test_reconfigure_atom_idempotent():
     lam0 = atom.lines[0].lambda0
     lw.reconfigure_atom(atom)
     assert atom.lines[0].lambda0 == lam0
+
+
+def test_context_solver_swap():
+    """Runtime formal-solver re-selection (the reference's plugin
+    registry path) re-traces the iteration and changes the result."""
+    from lightweaver_tpu.atmosphere import Atmosphere
+    from lightweaver_tpu.fal import Falc82
+    from lightweaver_tpu.rh_atoms import CaII_atom, H_6_atom
+
+    full = Falc82()
+    idx = np.arange(0, 82, 6)
+    atmos = Atmosphere(height=full.height[idx],
+                       temperature=full.temperature[idx],
+                       vlos=full.vlos[idx], vturb=full.vturb[idx],
+                       ne=full.ne[idx], nHTot=full.nHTot[idx])
+    atmos.quadrature(2)
+    rs = lw.RadiativeSet([H_6_atom(), CaII_atom()])
+    rs.set_active('Ca')
+    spect = rs.compute_wavelength_grid()
+    eqPops = rs.compute_eq_pops(atmos)
+    ctx = lw.Context(atmos, spect, eqPops)
+    ctx.formal_sol_gamma_matrices()
+    Ibez = np.asarray(ctx.I).copy()
+
+    ctx.set_formal_solver('piecewise_linear_1d')
+    assert ctx.cfg.formalSolver == 'piecewise_linear_1d'
+    ctx.formal_sol_gamma_matrices()
+    Ilin = np.asarray(ctx.I)
+    # different integrator, same physics: close at the spectrum's
+    # amplitude scale but not identical (line cores on this very coarse
+    # grid differ strongly pointwise between integrators)
+    assert not np.array_equal(Ibez, Ilin)
+    assert np.all(np.isfinite(Ilin))
+    assert np.abs(Ilin - Ibez).max() / np.abs(Ibez).max() < 0.05
+
+    with pytest.raises(ValueError):
+        ctx.set_formal_solver('nope')
+    with pytest.raises(ValueError):
+        ctx.set_fs_iter_scheme('somebody_elses_scheme')
+    ctx.set_fs_iter_scheme('mali_full_precond_AVX512')   # accepted alias
+    props = ctx.get_fs_iter_scheme_properties()
+    assert props['name'] == 'mali_full_precond'
+    assert ctx.Nthreads == 1
+    ctx.Nthreads = 8            # no-op, must not raise
+    assert ctx.hprd is False
