@@ -146,8 +146,12 @@ class Atmosphere:
         empty = np.array(())
         nobc = NoBc()
         if self.Ndim == 2:
+            sh = (self.Nz, self.Nx)
             return Layout(Ndim=2, x=np.asarray(self.x), y=empty,
-                          z=self.zGrid, vx=self.vx, vy=empty, vz=self.vz,
+                          z=self.zGrid,
+                          vx=np.asarray(self.vx).reshape(sh),
+                          vy=empty,
+                          vz=np.asarray(self.vz).reshape(sh),
                           xLowerBc=self.xLowerBc, xUpperBc=self.xUpperBc,
                           yLowerBc=nobc, yUpperBc=nobc,
                           zLowerBc=self.lowerBc, zUpperBc=self.upperBc,

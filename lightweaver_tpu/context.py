@@ -1564,9 +1564,8 @@ class Context:
                 self._prd_fs_fn = jax.jit(build_prd_subset_fn(
                     self.cfg, self._prdSubIdxs,
                     [(ai, ti) for ai, ti, a, t in prdLines]))
-            subsetFn = build_prd_subset_fn(
-                self.cfg, self._prdSubIdxs,
-                [(ai, ti) for ai, ti, a, t in prdLines])
+            # nested jit traces straight through inside the while_loop
+            subsetFn = self._prd_fs_fn
             subJ = jnp.asarray(self._prdSubIdxs)
             atmos = self.atmos
             prdConst = []
@@ -2300,6 +2299,7 @@ class Context:
                 'conserveCharge': self.conserveCharge,
                 'hprd': self.cfg.hprd,
                 'formalSolver': self.cfg.formalSolver,
+                'interpFn2d': self.cfg.interpFn2d,
                 'recurrenceMode': self.cfg.recurrenceMode,
             },
         }
@@ -2417,10 +2417,13 @@ class Context:
         iteration (ref: LwMiddleLayer.pyx:3039; registry
         ops/formal_solver.py SOLVER_NAMES_1D + the 2D scheme names)."""
         from .ops.formal_solver import SOLVER_NAMES_1D
-        valid = tuple(SOLVER_NAMES_1D) + ('piecewise_linear_2d',
-                                          'piecewise_besser_2d')
+        if self.cfg.Ndim == 2:
+            valid = ('piecewise_linear_2d', 'piecewise_besser_2d')
+        else:
+            valid = tuple(SOLVER_NAMES_1D)
         if name not in valid:
-            raise ValueError(f'Unknown formal solver {name!r}; '
+            raise ValueError(f'Unknown formal solver {name!r} for a '
+                             f'{self.cfg.Ndim}D atmosphere; '
                              f'available: {valid}')
         self._swap_cfg(formalSolver=name)
 

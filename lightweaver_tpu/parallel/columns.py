@@ -352,6 +352,9 @@ class ColumnBatch:
             Jsub = self.params['J'][:, subJ]
             self.params['J'] = self.params['J'].at[:, subJ].set(
                 jnp.where(mask, Jsub, out['J'].astype(Jsub.dtype)))
+            Isub = self.I[:, subJ]
+            self.I = self.I.at[:, subJ].set(
+                jnp.where(mask, Isub, out['I'].astype(Isub.dtype)))
             self._Rij = [list(r) for r in self._Rij]
             self._Rji = [list(r) for r in self._Rji]
             for li, (ai, ti, a, t) in enumerate(prdLines):
@@ -362,6 +365,12 @@ class ColumnBatch:
             dRhoCol = np.asarray(dRho)
             if np.max(np.where(self.converged, 0.0, dRhoCol)) < tol:
                 break
+
+        # keep the flat context's rho in sync (it backs state access and
+        # any flat-level reuse of the batch's converged state)
+        for ai, ti, a, t in prdLines:
+            fc.rhoPrd[ai][ti] = _unbatch_leaf(
+                self.params['rhoPrd'][ai][ti])
 
         self.dRhoCol = dRhoCol
         upd = IterationUpdate(self, updatedRho=True,

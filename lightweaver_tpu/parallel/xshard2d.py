@@ -112,6 +112,11 @@ def _sweep_2d_shard_body(chi, S, axisZ, w, ds, Iupw, Ibc, dwA, dwW, dwDs,
     [Nzs-1, Nxl]; Iupw [B, Nxl]; Ibc [Nzs-1, B].  Mirrors
     ops/formal_solver2d._sweep_2d with halo columns standing in for the
     cyclic jPrev/jPrev2/jn gathers.
+
+    NOTE: this intentionally restates _sweep_2d's plane physics with
+    shard-local gathers; tests/test_xshard2d.py compares the two
+    implementations directly across every solver configuration, so any
+    change to one that is not mirrored in the other fails CI.
     """
     B, Nzs, Nxl = chi.shape
     dt = chi.dtype
@@ -278,6 +283,11 @@ def formal_sol_2d_xsharded(chi, S, geom, Iupw, mesh, axisName='x',
     B, Nz, Nx = chi.shape
     if Nx % p != 0:
         raise ValueError(f'Nx={Nx} not divisible by {p} x-shards')
+    if Nx // p < 2:
+        # the 2-column upwind halo only reaches one shard back; a
+        # 1-column shard would alias j-2 onto j-1 in the BESSER stencils
+        raise ValueError(f'Need >= 2 x columns per shard (Nx={Nx}, '
+                         f'{p} shards)')
     dt = chi.dtype
     sweepZ = geom['sweepZ']
     dj = int(geom['dj'])

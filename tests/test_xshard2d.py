@@ -95,3 +95,11 @@ def test_vertical_ray_no_x_coupling():
     np.testing.assert_allclose(np.asarray(I1), np.asarray(I0), rtol=1e-12)
     np.testing.assert_allclose(np.asarray(Psi1), np.asarray(Psi0),
                                rtol=1e-12)
+
+
+def test_rejects_single_column_shards():
+    x, z, chi, S, Iupw = make_problem()
+    geom = build_geometry_2d(x, z, 0.6, 0.8, True, periodic=True)
+    with pytest.raises(ValueError):
+        formal_sol_2d_xsharded(chi[..., :8], S[..., :8], geom,
+                               Iupw[..., :8], xmesh(8))
