@@ -54,9 +54,13 @@ def breakdown(tag, ctx, accumDtype=None):
     it = build_iteration_fn(cfg)
     params = dict(ctx._params)
 
-    gather = jax.jit(lambda p: it.gather(p))
+    from lightweaver_tpu.context import _cast_params_to_working
+
+    gather = jax.jit(
+        lambda p: it.gather(_cast_params_to_working(p, cfg.dtype)))
 
     def _gfs(p):
+        p = _cast_params_to_working(p, cfg.dtype)
         chiTot, etaTot, chiT, etaT, UjiT = it.gather(p)
         srcNum = (etaTot + p['bgSca'][:, None, None, :]
                   * p['J'].astype(cfg.dtype)[:, None, None, :])
