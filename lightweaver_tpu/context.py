@@ -326,11 +326,8 @@ def build_iteration_fn(cfg: IterConfig):
     lamGrid = jnp.asarray(cfg.wavelength, dt)
 
     def gather(params):
-        chiTot = jnp.broadcast_to(params['bgChi'][:, None, None, :],
-                                  (Nlam, Nmu, 2, Nk))
-        etaTot = jnp.broadcast_to(params['bgEta'][:, None, None, :],
-                                  (Nlam, Nmu, 2, Nk))
         chiT, etaT, UjiT = [], [], []
+        contribs = []                 # (Nblue, Nred, chi_t, eta_t)
         for ai, a in enumerate(allAtoms):
             n = params['allPops'][ai]
             chiA, etaA, UjiA = [], [], []
@@ -338,14 +335,35 @@ def build_iteration_fn(cfg: IterConfig):
                 Uji, Vij, Vji = _uv(cfg, params, ai, ti, t)
                 chi_t = n[t.i] * Vij - n[t.j] * Vji
                 eta_t = n[t.j] * Uji
-                chiTot = _window_add(chiTot, t.Nblue, chi_t)
-                etaTot = _window_add(etaTot, t.Nblue, eta_t)
+                contribs.append((t.Nblue, t.Nred, chi_t, eta_t))
                 chiA.append(chi_t)
                 etaA.append(eta_t)
                 UjiA.append(Uji)
             chiT.append(chiA)
             etaT.append(etaA)
             UjiT.append(UjiA)
+        # Assemble chiTot/etaTot by STATIC wavelength segmentation instead
+        # of a per-transition dynamic-update-slice chain: between two
+        # consecutive window edges the covering transition set is fixed,
+        # so each segment is one fused (background + covering windows)
+        # sum and every element of the ray tensor is written exactly once
+        # by the final concatenate.  The DUS chain over ~2x Ntrans updates
+        # costs a large multiple of the tensor in HBM traffic on TPU.
+        edges = sorted({0, Nlam, *(c[0] for c in contribs),
+                        *(c[1] for c in contribs)})
+        segsChi, segsEta = [], []
+        for s0, s1 in zip(edges[:-1], edges[1:]):
+            segChi = params['bgChi'][s0:s1][:, None, None, :]
+            segEta = params['bgEta'][s0:s1][:, None, None, :]
+            for (nb, nr, c, e) in contribs:
+                if nb <= s0 and s1 <= nr:
+                    segChi = segChi + c[s0 - nb:s1 - nb]
+                    segEta = segEta + e[s0 - nb:s1 - nb]
+            shape = (s1 - s0, Nmu, 2, Nk)
+            segsChi.append(jnp.broadcast_to(segChi, shape))
+            segsEta.append(jnp.broadcast_to(segEta, shape))
+        chiTot = jnp.concatenate(segsChi, axis=0)
+        etaTot = jnp.concatenate(segsEta, axis=0)
         return chiTot, etaTot, chiT, etaT, UjiT
 
     def formal_solve_2d(params, chiTot, S):

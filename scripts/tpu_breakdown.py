@@ -71,24 +71,29 @@ def breakdown(tag, ctx, accumDtype=None):
     lam_it = jax.jit(lambda p: it(p, lambdaIterate=True))
     full = jax.jit(lambda p: it(p))
 
-    report(f'{tag}:gather', 1e3 * timeit(gather, params))
-    report(f'{tag}:gather+fs', 1e3 * timeit(gfs, params))
-    report(f'{tag}:lambda_iterate', 1e3 * timeit(lam_it, params))
+    def cost(jfn, name, t):
+        try:
+            ca = jfn.lower(params).compile().cost_analysis()
+            ba = ca.get('bytes accessed', None) if ca else None
+            fl = ca.get('flops', None) if ca else None
+            print(json.dumps({'stage': f'{tag}:{name}:cost',
+                              'bytes_accessed': ba, 'flops': fl,
+                              'achieved_GBps': (None if not ba or not t else
+                                                round(ba / t / 1e9, 1))}),
+                  flush=True)
+        except Exception as e:
+            print(json.dumps({'stage': f'{tag}:{name}:cost',
+                              'error': str(e)}), flush=True)
+
+    t = timeit(gather, params); report(f'{tag}:gather', 1e3 * t)
+    cost(gather, 'gather', t)
+    t = timeit(gfs, params); report(f'{tag}:gather+fs', 1e3 * t)
+    cost(gfs, 'gather+fs', t)
+    t = timeit(lam_it, params); report(f'{tag}:lambda_iterate', 1e3 * t)
+    cost(lam_it, 'lambda_iterate', t)
     tFull = timeit(full, params)
     report(f'{tag}:full', 1e3 * tFull)
-    try:
-        m = full.lower(params).compile()
-        ca = m.cost_analysis()
-        ba = ca.get('bytes accessed', None) if ca else None
-        fl = ca.get('flops', None) if ca else None
-        print(json.dumps({'stage': f'{tag}:cost_analysis',
-                          'bytes_accessed': ba, 'flops': fl,
-                          'achieved_GBps': (None if not ba else
-                                            round(ba / tFull / 1e9, 1))}),
-              flush=True)
-    except Exception as e:
-        print(json.dumps({'stage': f'{tag}:cost_analysis',
-                          'error': str(e)}), flush=True)
+    cost(full, 'full', tFull)
 
 
 if __name__ == '__main__':
