@@ -208,6 +208,24 @@ def _sum_lmd(x, wla, wmu):
                    axis=(0, 1, 2))
 
 
+def _sum_lmd_split(x, wla_adt, wmu_adt, wmu_dt, adt):
+    """:func:`_sum_lmd` with the (mu, up/down) contraction performed in
+    the dtype of ``x`` before casting to the accumulation dtype.
+
+    The angular reduction has only 2*Nmu positively-weighted terms, so
+    working-precision rounding (~1e-7 relative in f32) is negligible
+    against what the lambda contraction needs; the lambda sum — thousands
+    of terms with weights spanning orders of magnitude, the reason for
+    ``accumDtype`` — still runs in ``adt``.  On TPU (emulated f64) this
+    shrinks the f64 elementwise work and HBM traffic of every Gamma/rate
+    contraction by 2*Nmu.  When ``x`` is already in ``adt`` the original
+    single-pass contraction is used (bit-stable f64 default path)."""
+    if x.dtype == jnp.dtype(adt):
+        return _sum_lmd(x, wla_adt, wmu_adt)
+    xm = jnp.sum(x * wmu_dt[None, :, None, None], axis=(1, 2))
+    return jnp.sum(xm.astype(adt) * wla_adt, axis=0)
+
+
 def _uv(cfg: IterConfig, params, ai: int, ti: int, t: TransStatic):
     """Uji, Vij, Vji for one transition over its window.
     Lines: [W, Nmu, 2, Nk]; continua: [W, 1, 1, Nk].
@@ -568,17 +586,20 @@ def build_iteration_fn(cfg: IterConfig):
 
         adt = cfg.accumDtype if cfg.accumDtype is not None else dt
         wmu2 = (0.5 * wmu).astype(adt)
+        wmu2w = (0.5 * wmu).astype(dt)
         oneBar = jnp.sum(wmu2) * 2.0
         factored = getattr(cfg, 'gammaMode', 'factored') == 'factored'
         if factored:
             # angular moments shared by all mu-independent (continuum)
             # contractions: avoids broadcasting [W,1,1,Nk] continuum
             # quantities onto the full ray tensor (the dominant HBM
-            # traffic of the dense path)
-            PsiBar = _sum_mu(Psi.astype(adt), wmu2)
-            IBar = _sum_mu(I.astype(adt), wmu2)
-            IeffBaseSrcBar = _sum_mu(
-                (IeffBase + Psi * srcNum).astype(adt), wmu2)
+            # traffic of the dense path).  The mu contraction runs in
+            # the working dtype BEFORE the accumDtype cast (see
+            # _sum_lmd_split for the rationale; no-op when adt == dt).
+            PsiBar = _sum_mu(Psi, wmu2w).astype(adt)
+            IBar = _sum_mu(I, wmu2w).astype(adt)
+            IeffBaseSrcBar = _sum_mu(IeffBase + Psi * srcNum,
+                                     wmu2w).astype(adt)
 
         def eta_atom_on_window(ai, a, lo, hi):
             """Atom's total eta restricted to [lo, hi) as [hi-lo, ...]."""
@@ -612,8 +633,8 @@ def build_iteration_fn(cfg: IterConfig):
                 for ti, t in enumerate(a.trans):
                     sl = slice(t.Nblue, t.Nred)
                     if t.isLine:
-                        contrib = _sum_mu(etaT[ai][ti].astype(adt)
-                                          * Psi[sl].astype(adt), wmu2)
+                        contrib = _sum_mu(etaT[ai][ti] * Psi[sl],
+                                          wmu2w).astype(adt)
                     else:
                         contrib = (etaT[ai][ti][:, 0, 0, :].astype(adt)
                                    * PsiBar[sl])
@@ -656,10 +677,10 @@ def build_iteration_fn(cfg: IterConfig):
                         if h2 <= l2:
                             continue
                         chiSub = chiT[ai][t2i][l2 - t2.Nblue:h2 - t2.Nblue]
-                        total = total + sign * _sum_lmd(
-                            chiSub.astype(adt) * Psi[l2:h2].astype(adt),
+                        total = total + sign * _sum_lmd_split(
+                            chiSub * Psi[l2:h2],
                             UC[l2 - lo:h2 - lo] * wlaA[l2 - lo:h2 - lo],
-                            wmu2)
+                            wmu2, wmu2w, adt)
                         for t3i in listU:
                             t3 = a.trans[t3i]
                             if not t3.isLine:
@@ -668,13 +689,11 @@ def build_iteration_fn(cfg: IterConfig):
                             h3 = min(h2, t3.Nred)
                             if h3 <= l3:
                                 continue
-                            total = total + sign * _sum_lmd(
-                                chiT[ai][t2i][l3 - t2.Nblue:
-                                              h3 - t2.Nblue].astype(adt)
-                                * UjiT[ai][t3i][l3 - t3.Nblue:
-                                                h3 - t3.Nblue].astype(adt)
-                                * Psi[l3:h3].astype(adt),
-                                wlaA[l3 - lo:h3 - lo], wmu2)
+                            total = total + sign * _sum_lmd_split(
+                                chiT[ai][t2i][l3 - t2.Nblue:h3 - t2.Nblue]
+                                * UjiT[ai][t3i][l3 - t3.Nblue:h3 - t3.Nblue]
+                                * Psi[l3:h3],
+                                wlaA[l3 - lo:h3 - lo], wmu2, wmu2w, adt)
                     # continuum(chi) x line(U) terms
                     for t3i in listU:
                         t3 = a.trans[t3i]
@@ -684,10 +703,10 @@ def build_iteration_fn(cfg: IterConfig):
                         if h3 <= l3:
                             continue
                         USub = UjiT[ai][t3i][l3 - t3.Nblue:h3 - t3.Nblue]
-                        total = total + _sum_lmd(
-                            USub.astype(adt) * Psi[l3:h3].astype(adt),
+                        total = total + _sum_lmd_split(
+                            USub * Psi[l3:h3],
                             XC[l3 - lo:h3 - lo] * wlaA[l3 - lo:h3 - lo],
-                            wmu2)
+                            wmu2, wmu2w, adt)
                     return total
 
             Rij, Rji = [], []
@@ -735,17 +754,16 @@ def build_iteration_fn(cfg: IterConfig):
                                           a.ULists[t.i], False)
                 U_j = level_sum_on_window(UjiT[ai], a, t,
                                           a.ULists[t.j], False)
-                integ_ij = ((Uji + Vji * Ieff_w)
-                            - Psi_w * chi_i * U_j).astype(adt)
-                integ_ji = ((Vij * Ieff_w)
-                            - Psi_w * chi_j * U_i).astype(adt)
-                Gij = _sum_lmd(integ_ij, wlaA, wmu2)
-                Gji = _sum_lmd(integ_ji, wlaA, wmu2)
+                integ_ij = (Uji + Vji * Ieff_w) - Psi_w * chi_i * U_j
+                integ_ji = (Vij * Ieff_w) - Psi_w * chi_j * U_i
+                Gij = _sum_lmd_split(integ_ij, wlaA, wmu2, wmu2w, adt)
+                Gji = _sum_lmd_split(integ_ji, wlaA, wmu2, wmu2w, adt)
                 Gamma = Gamma.at[t.i, t.j].add(Gij)
                 Gamma = Gamma.at[t.j, t.i].add(Gji)
-                Rij.append(_sum_lmd((I_w * Vij).astype(adt), wlaA, wmu2))
-                Rji.append(_sum_lmd((Uji + I_w * Vji).astype(adt), wlaA,
-                                    wmu2))
+                Rij.append(_sum_lmd_split(I_w * Vij, wlaA, wmu2, wmu2w,
+                                          adt))
+                Rji.append(_sum_lmd_split(Uji + I_w * Vji, wlaA, wmu2,
+                                          wmu2w, adt))
 
             # finalise: diagonal = -column sums of off-diagonals
             eye = jnp.eye(a.Nlevel, dtype=adt)[:, :, None]
@@ -924,9 +942,11 @@ def build_prd_subset_fn(cfg: IterConfig, subIdxs: np.ndarray,
             I_w = I[s0:s0 + t.W]
             Uji, Vij, Vji = _uv(cfg, params, ai, ti, t)
             wlaA = _wla(cfg, params, ai, ti, t).astype(adt)
-            RijOut.append(_sum_lmd((I_w * Vij).astype(adt), wlaA, wmu2))
-            RjiOut.append(_sum_lmd((Uji + I_w * Vji).astype(adt), wlaA,
-                                   wmu2))
+            wmu2w = (0.5 * wmu).astype(dt)
+            RijOut.append(_sum_lmd_split(I_w * Vij, wlaA, wmu2, wmu2w,
+                                         adt))
+            RjiOut.append(_sum_lmd_split(Uji + I_w * Vji, wlaA, wmu2,
+                                         wmu2w, adt))
 
         out = {'J': Jnew, 'I': I[:, :, 1, 0], 'dJ': dJ,
                'Rij': RijOut, 'Rji': RjiOut}
