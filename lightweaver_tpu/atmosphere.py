@@ -76,6 +76,71 @@ class Layout:
     zUpperBc: BoundaryCondition
     stratifications: Optional[Stratifications] = None
 
+    @classmethod
+    def make_3d(cls, x: np.ndarray, y: np.ndarray, z: np.ndarray,
+                vx: np.ndarray, vy: np.ndarray, vz: np.ndarray,
+                xLowerBc: BoundaryCondition, xUpperBc: BoundaryCondition,
+                yLowerBc: BoundaryCondition, yUpperBc: BoundaryCondition,
+                zLowerBc: BoundaryCondition, zUpperBc: BoundaryCondition,
+                stratifications: Optional[Stratifications] = None) \
+            -> 'Layout':
+        """Construct a 3D Layout (data model only — like the reference,
+        whose solvers are 1D/2D;
+        ref: /root/reference/lightweaver/atmosphere.py:326-341)."""
+        return cls(Ndim=3, x=np.asarray(x), y=np.asarray(y),
+                   z=np.asarray(z), vx=np.asarray(vx), vy=np.asarray(vy),
+                   vz=np.asarray(vz),
+                   xLowerBc=xLowerBc, xUpperBc=xUpperBc,
+                   yLowerBc=yLowerBc, yUpperBc=yUpperBc,
+                   zLowerBc=zLowerBc, zUpperBc=zUpperBc,
+                   stratifications=stratifications)
+
+    @property
+    def Nx(self) -> int:
+        return self.x.shape[0]
+
+    @property
+    def Ny(self) -> int:
+        return self.y.shape[0]
+
+    @property
+    def Nz(self) -> int:
+        return self.z.shape[0]
+
+    @property
+    def Nspace(self) -> int:
+        """Total spatial points
+        (ref: /root/reference/lightweaver/atmosphere.py:377-390)."""
+        if self.Ndim == 1:
+            return self.Nz
+        if self.Ndim == 2:
+            return self.Nx * self.Nz
+        if self.Ndim == 3:
+            return self.Nx * self.Ny * self.Nz
+        raise ValueError(f'Invalid Ndim: {self.Ndim}')
+
+    @property
+    def dimensioned_shape(self):
+        """Shape to which flat [Nspace] arrays reshape for dimensional
+        indexing (ref: atmosphere.py:415-427)."""
+        if self.Ndim == 1:
+            return (self.Nz,)
+        if self.Ndim == 2:
+            return (self.Nz, self.Nx)
+        if self.Ndim == 3:
+            return (self.Nz, self.Ny, self.Nx)
+        raise ValueError(f'Unreasonable Ndim ({self.Ndim})')
+
+    def dimensioned_view(self) -> 'Layout':
+        """View with the velocity arrays reshaped to
+        ``dimensioned_shape`` (ref: atmosphere.py:429-450)."""
+        import dataclasses
+        sh = self.dimensioned_shape
+        rs = lambda a: (np.asarray(a).reshape(sh) if np.asarray(a).size
+                        else np.asarray(a))
+        return dataclasses.replace(self, vx=rs(self.vx), vy=rs(self.vy),
+                                   vz=rs(self.vz))
+
 
 def _falc_top_pressure(temp: float) -> float:
     """FAL-C-calibrated top-of-atmosphere gas pressure [dyn/cm^2] as a
@@ -115,6 +180,14 @@ class Atmosphere:
     vz: Optional[np.ndarray] = None
     xLowerBc: BoundaryCondition = field(default_factory=PeriodicRadiation)
     xUpperBc: BoundaryCondition = field(default_factory=PeriodicRadiation)
+    # 3D extensions (Ndim == 3, data model only — the solvers are 1D/2D
+    # exactly as in the reference): flattened [Nz*Ny*Nx] primary arrays
+    # (ref: /root/reference/lightweaver/atmosphere.py:253, 326-341)
+    y: Optional[np.ndarray] = None
+    Ny: Optional[int] = None
+    vy: Optional[np.ndarray] = None
+    yLowerBc: BoundaryCondition = field(default_factory=PeriodicRadiation)
+    yUpperBc: BoundaryCondition = field(default_factory=PeriodicRadiation)
 
     muz: np.ndarray = field(default=None, repr=False)
     mux: np.ndarray = field(default=None, repr=False)
@@ -145,6 +218,17 @@ class Atmosphere:
         Atmosphere.structure attribute)."""
         empty = np.array(())
         nobc = NoBc()
+        if self.Ndim == 3:
+            sh = (self.Nz, self.Ny, self.Nx)
+            return Layout.make_3d(
+                x=np.asarray(self.x), y=np.asarray(self.y), z=self.zGrid,
+                vx=np.asarray(self.vx).reshape(sh),
+                vy=np.asarray(self.vy).reshape(sh),
+                vz=np.asarray(self.vz).reshape(sh),
+                xLowerBc=self.xLowerBc, xUpperBc=self.xUpperBc,
+                yLowerBc=self.yLowerBc, yUpperBc=self.yUpperBc,
+                zLowerBc=self.lowerBc, zUpperBc=self.upperBc,
+                stratifications=self.stratifications)
         if self.Ndim == 2:
             sh = (self.Nz, self.Nx)
             return Layout(Ndim=2, x=np.asarray(self.x), y=empty,
@@ -408,6 +492,11 @@ class Atmosphere:
         Stepan et al. (2020) near-optimal sets for 2D.
         ref: /root/reference/lightweaver/atmosphere.py:1340-1457
         """
+        if self.Ndim == 3:
+            # like the reference (atmosphere.py:1453-1457): the 3D data
+            # model exists but no 3D solver/quadrature does
+            raise NotImplementedError('No 3D angular quadrature: the '
+                                      'solvers are 1D/2D')
         if self.Ndim == 1:
             if Nrays is not None and mu is None:
                 if Nrays < 1:
@@ -453,9 +542,13 @@ class Atmosphere:
         self.mux = np.sqrt(1.0 - self.muz ** 2)
 
     def vlos_mu(self) -> np.ndarray:
-        """Projected bulk velocity [Nrays, Nspace]: mu_z v_z (1D) or
-        mu_x v_x + mu_z v_z (2D).
+        """Projected bulk velocity [Nrays, Nspace]: mu_z v_z (1D),
+        mu_x v_x + mu_z v_z (2D), or mu.v (3D).
         ref: /root/reference/Source/Atmosphere.cpp:5-45"""
+        if self.Ndim == 3:
+            return (self.mux[:, None] * self.vx[None, :]
+                    + self.muy[:, None] * self.vy[None, :]
+                    + self.muz[:, None] * self.vz[None, :])
         if self.Ndim == 2:
             return (self.mux[:, None] * self.vx[None, :]
                     + self.muz[:, None] * self.vz[None, :])
@@ -495,10 +588,55 @@ class Atmosphere:
             Ndim=2, x=np.asarray(x, np.float64), Nz=Nz, Nx=Nx,
             vx=flat(vx), vz=flat(vz))
 
+    @classmethod
+    def make_3d(cls, height: np.ndarray, x: np.ndarray, y: np.ndarray,
+                temperature: np.ndarray, vx: np.ndarray, vy: np.ndarray,
+                vz: np.ndarray, vturb: np.ndarray, ne: np.ndarray,
+                nHTot: np.ndarray,
+                B: Optional[np.ndarray] = None,
+                gammaB: Optional[np.ndarray] = None,
+                chiB: Optional[np.ndarray] = None,
+                lowerBc: Optional[BoundaryCondition] = None,
+                upperBc: Optional[BoundaryCondition] = None,
+                xLowerBc: Optional[BoundaryCondition] = None,
+                xUpperBc: Optional[BoundaryCondition] = None,
+                yLowerBc: Optional[BoundaryCondition] = None,
+                yUpperBc: Optional[BoundaryCondition] = None) \
+            -> 'Atmosphere':
+        """3D (x, y, z) cartesian atmosphere — DATA MODEL ONLY, exactly
+        as in the reference, whose formal solvers are 1D/2D (the Layout
+        carries Ndim==3 but ``quadrature`` raises;
+        ref: /root/reference/lightweaver/atmosphere.py:326-341, 386, 421).
+
+        height: [Nz] decreasing; x: [Nx], y: [Ny] increasing; all field
+        arrays [Nz, Ny, Nx] (flattened internally, k = (z*Ny + y)*Nx + x).
+        """
+        Nz, Ny, Nx = temperature.shape
+        flat = lambda a: (np.asarray(a, np.float64).reshape(-1)
+                          if a is not None else None)
+        heightFull = np.repeat(np.asarray(height, np.float64), Ny * Nx)
+        return cls(
+            height=heightFull, temperature=flat(temperature),
+            vlos=flat(vz), vturb=flat(vturb), ne=flat(ne), nHTot=flat(nHTot),
+            B=flat(B), gammaB=flat(gammaB), chiB=flat(chiB),
+            lowerBc=lowerBc or ThermalisedRadiation(),
+            upperBc=upperBc or ZeroRadiation(),
+            xLowerBc=xLowerBc or PeriodicRadiation(),
+            xUpperBc=xUpperBc or PeriodicRadiation(),
+            yLowerBc=yLowerBc or PeriodicRadiation(),
+            yUpperBc=yUpperBc or PeriodicRadiation(),
+            Ndim=3, x=np.asarray(x, np.float64),
+            y=np.asarray(y, np.float64), Nz=Nz, Ny=Ny, Nx=Nx,
+            vx=flat(vx), vy=flat(vy), vz=flat(vz))
+
     @property
     def zGrid(self) -> np.ndarray:
-        """The z (height) axis [Nz] for 2D atmospheres."""
-        return self.height[::self.Nx] if self.Ndim == 2 else self.height
+        """The z (height) axis [Nz] for 2D/3D atmospheres."""
+        if self.Ndim == 2:
+            return self.height[::self.Nx]
+        if self.Ndim == 3:
+            return self.height[::self.Ny * self.Nx]
+        return self.height
 
     def B_projections(self):
         """cos(gamma), cos(2 chi), sin(2 chi) projections of the magnetic

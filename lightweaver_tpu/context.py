@@ -145,6 +145,15 @@ class IterConfig:
     Nx: Optional[int] = None
     zGrid: Optional[np.ndarray] = None
     geom2d: Optional[Dict] = None       # (mu, toObs) -> geometry dict
+    # x-sharded 2D sweep: device mesh + axis name + trace-time prepared
+    # geometry ((mu, toObs) -> prep_xshard_geometry dict).  When set the
+    # jitted iteration runs the plane sweep under shard_map with the x
+    # axis block-sharded (halo exchange + distributed ring closure) --
+    # the integrated form of parallel/xshard2d.py, replacing the
+    # reference's ZPlaneDecomposition hook (SURVEY §2.3).
+    mesh2d: Optional[object] = None
+    xAxisName: str = 'x'
+    prepGeom2d: Optional[Dict] = None
     # Local-operator acceleration of the coherent background-scattering
     # term: solve the diagonal feedback J = J_fs + PsiBar*sca*(J - Jdag)
     # pointwise after each formal solution.  Kills the slow lambda-
@@ -212,11 +221,16 @@ def _sum_lmd_split(x, wla_adt, wmu_adt, wmu_dt, adt):
     """:func:`_sum_lmd` with the (mu, up/down) contraction performed in
     the dtype of ``x`` before casting to the accumulation dtype.
 
-    The angular reduction has only 2*Nmu positively-weighted terms, so
-    working-precision rounding (~1e-7 relative in f32) is negligible
-    against what the lambda contraction needs; the lambda sum — thousands
-    of terms with weights spanning orders of magnitude, the reason for
-    ``accumDtype`` — still runs in ``adt``.  On TPU (emulated f64) this
+    The angular reduction has only 2*Nmu terms with positive *weights*
+    (the summands themselves can be mixed-sign — the Gamma integrands
+    carry an elementwise cross-term subtraction — so f32 cancellation
+    across the angular sum is possible in principle; empirically it
+    stays below what the 5e-3/1e-3 tolerances need, which
+    test_mixed_precision.py pins — if f32 convergence ever regresses,
+    revert the Gamma integrand call sites to the plain adt reduction
+    first).  The lambda sum — thousands of terms with weights spanning
+    orders of magnitude, the reason for ``accumDtype`` — still runs in
+    ``adt``.  On TPU (emulated f64) this
     shrinks the f64 elementwise work and HBM traffic of every Gamma/rate
     contraction by 2*Nmu.  When ``x`` is already in ``adt`` the original
     single-pass contraction is used (bit-stable f64 default path)."""
@@ -454,9 +468,18 @@ def build_iteration_fn(cfg: IterConfig):
                     i0 = Nz - 1 if toObs else 0
                     j0 = 0 if geom['dj'] > 0 else Nx - 1
                     Iupw = Iupw.at[:, j0].set(Ibc[:, i0])
-                I_m, Psi_m, Ieff_m = formal_sol_2d(
-                    chi_m, S_m, geom, Iupw, interp=interp2d,
-                    periodic=periodicEff, Ibc=Ibc, alongRay=alongRay)
+                if cfg.mesh2d is not None:
+                    from .parallel.xshard2d import (
+                        formal_sol_2d_xsharded_traced)
+                    I_m, Psi_m, Ieff_m = formal_sol_2d_xsharded_traced(
+                        chi_m, S_m, cfg.prepGeom2d[(mu, toObs)], Iupw,
+                        mesh=cfg.mesh2d, axisName=cfg.xAxisName,
+                        interp=interp2d, periodic=periodicEff, Ibc=Ibc,
+                        alongRay=alongRay)
+                else:
+                    I_m, Psi_m, Ieff_m = formal_sol_2d(
+                        chi_m, S_m, geom, Iupw, interp=interp2d,
+                        periodic=periodicEff, Ibc=Ibc, alongRay=alongRay)
                 Imu.append(I_m.reshape(Nlam, Nk))
                 PsiMu.append(Psi_m.reshape(Nlam, Nk))
                 IeffMu.append(Ieff_m.reshape(Nlam, Nk))
@@ -908,6 +931,7 @@ def build_prd_subset_fn(cfg: IterConfig, subIdxs: np.ndarray,
                        I_u.reshape(Nsub, Nmu, Nk)], axis=2)
 
         wmu2 = (0.5 * wmu).astype(adt)
+        wmu2w = (0.5 * wmu).astype(dt)
         Jnew = _sum_mu(I.astype(adt), wmu2)
         if cfg.accelerateScattering:
             Psi = jnp.stack([Psi_d.reshape(Nsub, Nmu, Nk),
@@ -942,7 +966,6 @@ def build_prd_subset_fn(cfg: IterConfig, subIdxs: np.ndarray,
             I_w = I[s0:s0 + t.W]
             Uji, Vij, Vji = _uv(cfg, params, ai, ti, t)
             wlaA = _wla(cfg, params, ai, ti, t).astype(adt)
-            wmu2w = (0.5 * wmu).astype(dt)
             RijOut.append(_sum_lmd_split(I_w * Vij, wlaA, wmu2, wmu2w,
                                          adt))
             RjiOut.append(_sum_lmd_split(Uji + I_w * Vji, wlaA, wmu2,
@@ -998,7 +1021,8 @@ class Context:
                  backgroundProvider=None,
                  crswCallback=None,
                  dtype=None, accumDtype=None,
-                 accelerateScattering: bool = False):
+                 accelerateScattering: bool = False,
+                 mesh=None, meshXAxis: str = 'x'):
         self.atmos = atmos
         self.spect = spect
         self.eqPops = eqPops
@@ -1060,6 +1084,28 @@ class Context:
                         sgn * atmos.mux[mu], sgn * atmos.muz[mu], toObs,
                         periodic=self.cfg.xPeriodic)
             self.cfg.geom2d = geom
+            if mesh is not None:
+                # x-sharded 2D iteration: precompute the sweep-ordered
+                # geometry once so the jitted iteration's sharded sweep
+                # touches no host numpy (kills the per-call prep of the
+                # standalone formal_sol_2d_xsharded path)
+                from .parallel.xshard2d import prep_xshard_geometry
+                p = mesh.shape[meshXAxis]
+                if atmos.Nx % p != 0 or atmos.Nx // p < 2:
+                    raise ValueError(
+                        f'Nx={atmos.Nx} must be divisible by the '
+                        f'{meshXAxis!r} mesh axis ({p}) with >= 2 '
+                        'columns per shard')
+                self.cfg.mesh2d = mesh
+                self.cfg.xAxisName = meshXAxis
+                self.cfg.prepGeom2d = {
+                    key: prep_xshard_geometry(g, atmos.Nz, atmos.Nx,
+                                              dtype)
+                    for key, g in geom.items()}
+        elif mesh is not None:
+            raise ValueError('mesh= is only supported for 2D atmospheres '
+                             '(1.5D column batches shard via '
+                             'parallel.columns.ColumnBatch)')
 
         if backgroundProvider is None:
             backgroundProvider = basic_background

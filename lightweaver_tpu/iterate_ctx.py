@@ -52,10 +52,22 @@ def iterate_ctx_se(ctx, Nscatter: int = 3, NmaxIter: int = 2000,
     prevPrint = 0.0
     start = time.time()
     finalUpdates = []
+
+    def _final_updates():
+        return []
+
     for it in range(NmaxIter):
         JUpdate = ctx.formal_sol_gamma_matrices()
         if it < Nscatter:
             continue
+
+        def _final_updates():
+            # the reference always returns the last computed updates,
+            # converged or not (ref: iterate_ctx.py:209-213, 235-239)
+            ups = [JUpdate, popsUpdate]
+            if rhoUpdate is not None:
+                ups.append(rhoUpdate)
+            return ups
 
         popsUpdate = ctx.stat_equil()
         if prd:
@@ -76,7 +88,7 @@ def iterate_ctx_se(ctx, Nscatter: int = 3, NmaxIter: int = 2000,
             if not quiet:
                 print(f'Converged in {it + 1} iterations '
                       f'({time.time() - start:.2f} s)')
-            finalUpdates = [JUpdate, popsUpdate]
+            finalUpdates = _final_updates()
             break
     else:
         if raiseOnUnconverged:
@@ -86,7 +98,7 @@ def iterate_ctx_se(ctx, Nscatter: int = 3, NmaxIter: int = 2000,
         if not quiet:
             print(f'Not converged after {NmaxIter} iterations')
         if returnFinalConvergence:
-            return finalUpdates
+            return _final_updates()
         return it + 1
 
     if returnFinalConvergence:

@@ -6,6 +6,7 @@ public data tables are shipped pre-extracted and the fits are vectorised
 numpy).
 """
 import json
+import re
 from pathlib import Path
 from typing import List, Optional, Union
 
@@ -17,7 +18,73 @@ from .atomic_table import Element, PeriodicTable
 DATA_DIR = Path(__file__).resolve().parent / 'data'
 
 
+def _next_line(lines: List[str]) -> Optional[str]:
+    """Next non-comment, non-blank line (RH .molecule convention).
+    ref: /root/reference/lightweaver/molecule.py:13-25"""
+    while lines:
+        s = lines.pop(0).strip()
+        if s.startswith('#') or not s:
+            continue
+        return s
+    return None
+
+
+def _parse_constituent(s: str):
+    m = re.match(r'^(\d+)\s*([A-Za-z].*)$', s.strip())
+    if m:
+        return int(m.group(1)), m.group(2)
+    return 1, s.strip()
+
+
+def parse_molecule_file(path) -> dict:
+    """Parse an RH/Kurucz ``.molecule`` definition file (the format of
+    the reference's Data/DefaultMolecules distribution) into the plain
+    dict layout :class:`Molecule` consumes.
+    ref: /root/reference/lightweaver/molecule.py:100-175"""
+    path = Path(path)
+    lines = path.read_text().splitlines()
+    name = _next_line(lines)
+    charge = int(_next_line(lines))
+    if charge < 0 or charge > 1:
+        raise ValueError('Only neutral or singly charged positive '
+                         f'molecules are allowed ({name})')
+    constituents = [_parse_constituent(c)
+                    for c in _next_line(lines).split(',')]
+    Ediss_eV = float(_next_line(lines))
+    fit = _next_line(lines)
+    if fit not in ('KURUCZ_70', 'KURUCZ_85', 'SAUVAL_TATUM_84'):
+        raise ValueError(f'Unknown molecular equilibrium fit {fit!r} '
+                         f'in {name}')
+    tRange = [float(x) for x in _next_line(lines).split()]
+    if len(tRange) != 2:
+        raise ValueError('Expected two entries for formation temperature '
+                         f'range ({name})')
+    pf = _next_line(lines).split()
+    pfCoef = [float(x) for x in pf[1:]]
+    if len(pfCoef) != int(pf[0]):
+        raise ValueError('Unexpected number of partition function fit '
+                         f'parameters ({name})')
+    eqc = _next_line(lines).split()
+    eqcCoef = [float(x) for x in eqc[1:]]
+    if len(eqcCoef) != int(eqc[0]):
+        raise ValueError('Unexpected number of equilibrium coefficient '
+                         f'fit parameters ({name})')
+    return {
+        'name': name, 'charge': charge,
+        'elements': [e for (_c, e) in constituents],
+        'counts': [c for (c, _e) in constituents],
+        'Ediss_eV': Ediss_eV, 'fit': fit,
+        'Tmin': tRange[0], 'Tmax': tRange[1],
+        'pfCoef': pfCoef, 'eqcCoef': eqcCoef,
+    }
+
+
 class Molecule:
+    @classmethod
+    def from_file(cls, path) -> 'Molecule':
+        """Load a user-supplied RH ``.molecule`` definition file."""
+        return cls(parse_molecule_file(path))
+
     def __init__(self, d: dict):
         self.name = d['name']
         self.charge = int(d['charge'])
@@ -59,10 +126,15 @@ class Molecule:
 
 
 class MolecularTable:
-    """Set of molecular models indexed by name."""
+    """Set of molecular models indexed by name.  Entries may be
+    :class:`Molecule` instances or paths to RH ``.molecule`` files
+    (matching the reference's path-list constructor,
+    ref: /root/reference/lightweaver/molecule.py:177-198)."""
 
-    def __init__(self, molecules: Optional[List[Molecule]] = None):
-        self.molecules = molecules or []
+    def __init__(self, molecules: Optional[List] = None):
+        self.molecules = [m if isinstance(m, Molecule)
+                          else Molecule.from_file(m)
+                          for m in (molecules or [])]
         self.indices = {m.name.upper(): i
                         for i, m in enumerate(self.molecules)}
 

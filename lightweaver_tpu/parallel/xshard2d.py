@@ -266,18 +266,62 @@ def _sweep_2d_shard_body(chi, S, axisZ, w, ds, Iupw, Ibc, dwA, dwW, dwDs,
     return I, Psi, Ieffb
 
 
-def formal_sol_2d_xsharded(chi, S, geom, Iupw, mesh, axisName='x',
-                           interp='linear', periodic=True, Ibc=None,
-                           alongRay='linear'):
-    """x-sharded 2D formal solution for one (mu, toObs) ray.
+def prep_xshard_geometry(geom, Nz, Nx, dtype):
+    """Host-side, trace-time geometry preparation for the x-sharded
+    sweep of one (mu, toObs) ray: everything static is reordered ONCE
+    (sweep-order z, dj-normalised x) so the traced path touches no
+    numpy.  Returns a dict of trace-time constants consumed by
+    :func:`formal_sol_2d_xsharded_traced`."""
+    sweepZ = np.asarray(geom['sweepZ'])
+    dj = int(geom['dj'])
+    flip = dj < 0
 
-    Same contract as ops.formal_solver2d.formal_sol_2d -- chi, S
-    [B, Nz, Nx] in natural z order, geom from build_geometry_2d, Iupw
-    [B, Nx], Ibc [B, Nz] -- but the x axis is block-sharded over
-    `mesh`'s `axisName` axis and the sweep runs under shard_map with
-    explicit halo-exchange/all-gather collectives.  Nx must be divisible
-    by the axis size.  Returns I, Psi, IeffBase as sharded jax.Arrays
-    ([B, Nz, Nx] global shape).
+    def prep(a):
+        a = np.asarray(a)
+        if flip:
+            a = a[..., ::-1]
+        return np.ascontiguousarray(a)
+
+    dwA = prep(np.concatenate([geom['dwAxisZ'][1:],
+                               np.zeros((1, Nx), bool)]))
+    dwW = prep(np.concatenate([geom['dwW'][1:],
+                               np.zeros((1, Nx))])).astype(dtype)
+    dwDs = prep(np.concatenate([geom['dwDs'][1:],
+                                np.ones((1, Nx))])).astype(dtype)
+    dwZero = prep(np.concatenate([geom['dwZero'][1:],
+                                  np.ones((1, Nx), bool)]))
+    return {
+        'sweepZ': sweepZ, 'inv': np.argsort(sweepZ), 'flip': flip,
+        'axisZ': prep(geom['axisZ']),
+        'w': prep(geom['w']).astype(dtype),
+        'ds': prep(geom['ds']).astype(dtype),
+        'dwA': dwA, 'dwW': dwW, 'dwDs': dwDs, 'dwZero': dwZero,
+    }
+
+
+def _get_shard_map():
+    try:
+        from jax import shard_map
+        return shard_map, {'check_vma': False}
+    except ImportError:                     # jax < 0.8
+        from jax.experimental.shard_map import shard_map
+        return shard_map, {'check_rep': False}
+
+
+def formal_sol_2d_xsharded_traced(chi, S, prep, Iupw, mesh,
+                                  axisName='x', interp='linear',
+                                  periodic=True, Ibc=None,
+                                  alongRay='linear'):
+    """Fully-traceable x-sharded 2D formal solution for one (mu, toObs)
+    ray: usable INSIDE a jitted MALI iteration (no host-side numpy on
+    the data path — geometry reordering comes precomputed via
+    :func:`prep_xshard_geometry`).
+
+    chi, S: [B, Nz, Nx] traced arrays in natural z order; Iupw [B, Nx];
+    Ibc [B, Nz] or None.  Under jit, GSPMD moves the operands into the
+    shard_map's in_specs automatically, so the caller may hold them with
+    any sharding (replicated included).  Returns I, Psi, IeffBase
+    ([B, Nz, Nx] global, natural order).
     """
     p = mesh.shape[axisName]
     B, Nz, Nx = chi.shape
@@ -289,36 +333,20 @@ def formal_sol_2d_xsharded(chi, S, geom, Iupw, mesh, axisName='x',
         raise ValueError(f'Need >= 2 x columns per shard (Nx={Nx}, '
                          f'{p} shards)')
     dt = chi.dtype
-    sweepZ = geom['sweepZ']
-    dj = int(geom['dj'])
+    sweepZ = prep['sweepZ']
+    flip = prep['flip']
 
-    def prep(a, flip):
-        """Sweep-order z, dj-normalised x (global, host-side)."""
-        a = np.asarray(a)
-        if flip:
-            a = a[..., ::-1]
-        return np.ascontiguousarray(a)
+    def order(a):
+        a = a[:, sweepZ]
+        return jnp.flip(a, axis=-1) if flip else a
 
-    flip = dj < 0
-    chiG = prep(np.asarray(chi)[:, sweepZ], flip)
-    SG = prep(np.asarray(S)[:, sweepZ], flip)
-    IupwG = prep(Iupw, flip)
-    axisZ = prep(geom['axisZ'], flip)
-    wG = prep(geom['w'], flip).astype(dt)
-    dsG = prep(geom['ds'], flip).astype(dt)
+    chiG = order(chi)
+    SG = order(S)
+    IupwG = jnp.flip(Iupw, axis=-1) if flip else Iupw
     if Ibc is not None:
-        IbcG = np.asarray(Ibc)[:, sweepZ[1:]].swapaxes(0, 1)   # [Nzs-1, B]
+        IbcG = Ibc[:, sweepZ[1:]].swapaxes(0, 1)       # [Nzs-1, B]
     else:
-        IbcG = np.zeros((Nz - 1, B), dt)
-    # downwind geometry rows for computed planes 1..Nz-1 (BESSER along-ray)
-    dwA = prep(np.concatenate([geom['dwAxisZ'][1:],
-                               np.zeros((1, Nx), bool)]), flip)
-    dwW = prep(np.concatenate([geom['dwW'][1:],
-                               np.zeros((1, Nx))]), flip).astype(dt)
-    dwDs = prep(np.concatenate([geom['dwDs'][1:],
-                                np.ones((1, Nx))]), flip).astype(dt)
-    dwZero = prep(np.concatenate([geom['dwZero'][1:],
-                                  np.ones((1, Nx), bool)]), flip)
+        IbcG = jnp.zeros((Nz - 1, B), dt)
 
     specX = P(None, None, axisName)
     spec2 = P(None, axisName)
@@ -334,33 +362,62 @@ def formal_sol_2d_xsharded(chi, S, geom, Iupw, mesh, axisName='x',
         return body(chiL, SL, axZL, wL, dsL, IupwL, IbcL, dwAL, dwWL,
                     dwDsL, dwZeroL, isFirstShard=isFirst)
 
-    try:
-        from jax import shard_map
-        kw = {'check_vma': False}
-    except ImportError:                     # jax < 0.8
-        from jax.experimental.shard_map import shard_map
-        kw = {'check_rep': False}
+    shard_map, kw = _get_shard_map()
     fn = shard_map(shard_body, mesh=mesh,
                    in_specs=(specX, specX, spec2, spec2, spec2, specI,
                              specB, spec2, spec2, spec2, spec2),
                    out_specs=(specX, specX, specX), **kw)
 
-    put = lambda a, sp: jax.device_put(jnp.asarray(a),
-                                       NamedSharding(mesh, sp))
-    I_s, Psi_s, Ieff_s = fn(put(chiG, specX), put(SG, specX),
-                            put(axisZ, spec2), put(wG, spec2),
-                            put(dsG, spec2), put(IupwG, specI),
-                            put(IbcG, specB), put(dwA, spec2),
-                            put(dwW, spec2), put(dwDs, spec2),
-                            put(dwZero, spec2))
+    I_s, Psi_s, Ieff_s = fn(chiG, SG,
+                            jnp.asarray(prep['axisZ']),
+                            jnp.asarray(prep['w'], dt),
+                            jnp.asarray(prep['ds'], dt),
+                            IupwG, IbcG,
+                            jnp.asarray(prep['dwA']),
+                            jnp.asarray(prep['dwW'], dt),
+                            jnp.asarray(prep['dwDs'], dt),
+                            jnp.asarray(prep['dwZero']))
 
-    inv = np.argsort(sweepZ)
+    inv = prep['inv']
     I_s = I_s[:, inv]
     Psi_s = Psi_s[:, inv]
     Ieff_s = Ieff_s[:, inv]
     if flip:
-        I_s = I_s[..., ::-1]
-        Psi_s = Psi_s[..., ::-1]
-        Ieff_s = Ieff_s[..., ::-1]
-    Psi_s = Psi_s / jnp.asarray(chi)
+        I_s = jnp.flip(I_s, axis=-1)
+        Psi_s = jnp.flip(Psi_s, axis=-1)
+        Ieff_s = jnp.flip(Ieff_s, axis=-1)
+    Psi_s = Psi_s / chi
     return I_s, Psi_s, Ieff_s
+
+
+def formal_sol_2d_xsharded(chi, S, geom, Iupw, mesh, axisName='x',
+                           interp='linear', periodic=True, Ibc=None,
+                           alongRay='linear'):
+    """x-sharded 2D formal solution for one (mu, toObs) ray.
+
+    Same contract as ops.formal_solver2d.formal_sol_2d -- chi, S
+    [B, Nz, Nx] in natural z order, geom from build_geometry_2d, Iupw
+    [B, Nx], Ibc [B, Nz] -- but the x axis is block-sharded over
+    `mesh`'s `axisName` axis and the sweep runs under shard_map with
+    explicit halo-exchange/all-gather collectives.  Nx must be divisible
+    by the axis size.  Returns I, Psi, IeffBase as sharded jax.Arrays
+    ([B, Nz, Nx] global shape).
+
+    Standalone entry point: prepares geometry host-side and places the
+    operands with the sharded layout; the in-iteration path uses
+    :func:`formal_sol_2d_xsharded_traced` with geometry from
+    :func:`prep_xshard_geometry` instead.
+    """
+    B, Nz, Nx = chi.shape
+    dt = chi.dtype
+    prep = prep_xshard_geometry(geom, Nz, Nx, dt)
+
+    put = lambda a, sp: jax.device_put(jnp.asarray(a),
+                                       NamedSharding(mesh, sp))
+    chiD = put(np.asarray(chi), P(None, None, axisName))
+    SD = put(np.asarray(S), P(None, None, axisName))
+    IupwD = put(np.asarray(Iupw), P(None, axisName))
+    IbcD = None if Ibc is None else put(np.asarray(Ibc), P(None, None))
+    return formal_sol_2d_xsharded_traced(
+        chiD, SD, prep, IupwD, mesh=mesh, axisName=axisName,
+        interp=interp, periodic=periodic, Ibc=IbcD, alongRay=alongRay)

@@ -62,7 +62,12 @@ def main():
         except Exception as e:
             print(f'skip {p.name}: {e}')
             continue
-        out[m['name'].upper()] = m
+        # key (and name) by file stem: CO_NLTE.molecule declares the
+        # name 'CO' and would otherwise shadow CO.molecule (their
+        # equilibrium data is identical; they differ only in the line
+        # list pointer, which neither parser reads)
+        m['name'] = p.stem
+        out[p.stem.upper()] = m
         print(f'{m["name"]}: {m["fit"]} Ediss={m["Ediss_eV"]} eV')
     (DST / 'molecules.json').write_text(json.dumps(out, indent=1))
     print(f'wrote {len(out)} molecules')

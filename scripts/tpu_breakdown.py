@@ -23,7 +23,12 @@ import jax.numpy as jnp
 from bench import build_ctx
 
 
-def timeit(fn, *args, warmup=2, reps=10):
+def timeit(fn, *args, warmup=2, reps=50):
+    """Steady-state throughput per call: reps must be LARGE (>=50).
+    The axon tunnel adds ~40-50 ms round-trip latency per dispatch that
+    async pipelining hides; blocking per call (or small rep counts)
+    measures the tunnel, not the device (probe: bench-path 4.2 ms/iter
+    vs 44 ms/iter when blocking every call, round 3)."""
     for _ in range(warmup):
         out = fn(*args)
     jax.block_until_ready(out)

@@ -80,3 +80,74 @@ def test_background_with_molecules():
     # H2), but molecular opacity sources appear on top
     assert np.all(bg.chi >= bg0.chi * (1 - 0.01))
     assert (bg.chi / bg0.chi).max() > 1.0 + 1e-8
+
+
+def test_molecule_file_parser(tmp_path):
+    """Runtime parsing of a user-supplied RH .molecule file matches the
+    shipped table entry (ref format:
+    /root/reference/lightweaver/molecule.py:100-175)."""
+    from lightweaver_tpu.molecule import Molecule
+
+    src = tmp_path / 'OH.molecule'
+    src.write_text("""# A comment line
+  OH
+
+# Charge
+  0
+
+# constituents
+  H, O
+
+# Ediss [eV]
+  4.392
+
+# Fit type
+  SAUVAL_TATUM_84
+
+# Tmin and Tmax [K]
+  1.0E+3  9.0E+3
+
+# pf_coef
+  4   3.0929 -1.6778 0.6743 -0.1874
+
+# eqc_coef
+  3  10.7881 -0.8762 -0.5436
+
+## end
+""")
+    m = Molecule.from_file(src)
+    ref = MolecularTable.default(['OH'])['OH']
+    assert m.name == 'OH'
+    assert m.charge == 0
+    assert sorted(e.name for e in m.elements) == ['H', 'O']
+    T = np.linspace(1500.0, 8000.0, 7)
+    np.testing.assert_allclose(m.equilibrium_constant(T),
+                               ref.equilibrium_constant(T), rtol=1e-12)
+    # outside the formation range the constant is zero
+    assert m.equilibrium_constant(np.array([500.0, 1e4])).tolist() == [0, 0]
+
+
+def test_molecular_table_from_paths(tmp_path):
+    """MolecularTable accepts paths like the reference's constructor."""
+    src = tmp_path / 'H2.molecule'
+    src.write_text("""  H2
+  0
+  2H
+  4.478
+  KURUCZ_85
+  2.0E3 9.0E3
+  2   1.0 0.5
+  3   1.0 0.5 0.25
+""")
+    t = MolecularTable([src])
+    assert 'H2' in t and len(t) == 1
+    assert t['h2'].Nnuclei == 2
+
+
+def test_co_nlte_shipped():
+    """CO_NLTE (identical equilibrium data to CO; separate line-list
+    pointer upstream) is available in the default table."""
+    t = MolecularTable.default(['CO', 'CO_NLTE'])
+    T = np.array([2000.0, 4000.0])
+    np.testing.assert_allclose(t['CO_NLTE'].equilibrium_constant(T),
+                               t['CO'].equilibrium_constant(T), rtol=0)
