@@ -255,14 +255,15 @@ def _uv(cfg: IterConfig, params, ai: int, ti: int, t: TransStatic):
             rho = params['rhoPrd'][ai][ti]
             if rho is not None:
                 rho = rho.astype(dt)
-                if cfg.hprd and cfg.hprdCoeffs is not None \
-                        and (ai, ti) in cfg.hprdCoeffs:
+                if cfg.hprd and params.get('hprdI0') is not None \
+                        and params['hprdI0'][ai][ti] is not None:
                     # comoving-frame rho: linear interpolation at the
-                    # Doppler-shifted window position per (mu, +/-, k)
+                    # Doppler-shifted window position per (mu, +/-, k);
+                    # coefficients ride in params so columns can carry
+                    # distinct velocity fields under vmap
                     # (ref: /root/reference/Source/LwTransition.hpp:118-126)
-                    i0, frac = cfg.hprdCoeffs[(ai, ti)]
-                    i0 = jnp.asarray(i0)
-                    frac = jnp.asarray(frac, dt)
+                    i0 = params['hprdI0'][ai][ti]
+                    frac = params['hprdFrac'][ai][ti].astype(dt)
                     kIdx = jnp.arange(rho.shape[1])
                     rhoShift = ((1.0 - frac) * rho[i0, kIdx]
                                 + frac * rho[i0 + 1, kIdx])
@@ -577,6 +578,13 @@ def build_iteration_fn(cfg: IterConfig):
             Psi = jnp.zeros_like(Psi)
             IeffBase = I
 
+        # J's angular sum MUST run in accumDtype: the scattering feedback
+        # (sca*Jdag through the formal solution) amplifies J noise by
+        # ~1/(1-c) ~ 1e3-1e4 in the Rayleigh/Thomson-dominated deep UV, so
+        # a working-dtype (f32) reduction floors dJ at ~1e-2 on FAL-C
+        # 5-ray problems (measured round 3; the 40-pt 3-ray
+        # test_mixed_precision case converges either way and does NOT
+        # catch this).  Do not "optimise" this cast away.
         Jnew = _sum_mu(I.astype(cfg.accumDtype),
                        0.5 * wmu.astype(cfg.accumDtype))
         if cfg.accelerateScattering:
@@ -593,7 +601,7 @@ def build_iteration_fn(cfg: IterConfig):
             # as resampling (ref: Prd.cpp:816-897,
             # SimdFullIterationTemplates.hpp:397-408)
             lamPrd = lamGrid[jnp.asarray(cfg.prdIdxs)]
-            vlosMu = jnp.asarray(cfg.vlosMu, dt)         # [Nmu, Nk]
+            vlosMu = params['vlosMu'].astype(dt)         # [Nmu, Nk]
             sgn = jnp.asarray([-1.0, 1.0], dt)
             fac = 1.0 + (sgn[None, :, None] * vlosMu[:, None, :]
                          / Const.CLight)                 # [Nmu, 2, Nk]
@@ -932,6 +940,8 @@ def build_prd_subset_fn(cfg: IterConfig, subIdxs: np.ndarray,
 
         wmu2 = (0.5 * wmu).astype(adt)
         wmu2w = (0.5 * wmu).astype(dt)
+        # accumDtype angular sum (see the main iteration's Jnew note:
+        # scattering feedback amplifies J noise ~1e3x)
         Jnew = _sum_mu(I.astype(adt), wmu2)
         if cfg.accelerateScattering:
             Psi = jnp.stack([Psi_d.reshape(Nsub, Nmu, Nk),
@@ -946,7 +956,7 @@ def build_prd_subset_fn(cfg: IterConfig, subIdxs: np.ndarray,
             # subset rows only (subIdxs covers all lambdas that scatter
             # into the PRD region — ref: Prd.cpp:760-811)
             lamPrd = jnp.asarray(cfg.wavelength[cfg.prdIdxs], dt)
-            vlosMu = jnp.asarray(cfg.vlosMu, dt)
+            vlosMu = params['vlosMu'].astype(dt)
             sgn = jnp.asarray([-1.0, 1.0], dt)
             fac = 1.0 + (sgn[None, :, None] * vlosMu[:, None, :]
                          / Const.CLight)
@@ -1328,7 +1338,35 @@ class Context:
                 getattr(self.atmos, 'xLowerBc', None)),
             'xUpperBcData': self._x_bc_data(
                 getattr(self.atmos, 'xUpperBc', None)),
+            # hybrid-PRD per-depth data rides in params (not cfg) so the
+            # iteration stays vmappable over columns with per-column
+            # velocity fields (ColumnBatch hPRD)
+            'vlosMu': (jnp.asarray(self.cfg.vlosMu, self.dtype)
+                       if self.cfg.hprd and self.cfg.vlosMu is not None
+                       else None),
+            'hprdI0': self._hprd_coeff_params(0),
+            'hprdFrac': self._hprd_coeff_params(1),
         }
+
+    def _hprd_coeff_params(self, which: int):
+        """Nested [atom][trans] list of hPRD interpolation coefficient
+        arrays (0 = i0 indices, 1 = fractions), None-padded like phi."""
+        if not self.cfg.hprd or self.cfg.hprdCoeffs is None:
+            return None
+        allAtoms = self.cfg.activeAtoms + self.cfg.detailedAtoms
+        out = []
+        for ai, a in enumerate(allAtoms):
+            row = []
+            for ti, t in enumerate(a.trans):
+                c = self.cfg.hprdCoeffs.get((ai, ti))
+                if c is None:
+                    row.append(None)
+                elif which == 0:
+                    row.append(jnp.asarray(c[0]))
+                else:
+                    row.append(jnp.asarray(c[1], self.dtype))
+            out.append(row)
+        return out
 
     def _bc_data(self, bc):
         """Evaluate a user-callable boundary condition to
@@ -2361,6 +2399,13 @@ class Context:
             self.compute_profiles()
         if collisions:
             self.compute_collisions(force=True)
+        if self.cfg.hprd and self._prd_lines():
+            # velocity changes move the comoving-frame coefficients
+            self._configure_hprd_coeffs()
+        # the cached params pytree holds references to the old
+        # background/profile/thermodynamic arrays -- rebuild it on the
+        # next iteration call
+        self._params = None
 
     # ------------------------------------------------------------------
     def state_dict(self) -> Dict:
@@ -2495,6 +2540,7 @@ class Context:
         self.cfg = dataclasses.replace(self.cfg, **replacements)
         self._iter_fn = None
         self._prd_fs_fn = None
+        self._params = None
 
     def set_formal_solver(self, name: str):
         """Select the formal solver by registry name, re-tracing the

@@ -123,6 +123,7 @@ class ColumnBatch:
         self._Rij = None
         self._Rji = None
         self._prd_fs = None
+        self.JRest = None
 
     # ------------------------------------------------------------------
     @classmethod
@@ -190,8 +191,13 @@ class ColumnBatch:
             # freeze converged columns' radiation field
             mask = jnp.asarray(self.converged)[:, None, None]
             self.params['J'] = jnp.where(mask, self.params['J'], out['J'])
+            if 'JRest' in out:
+                self.JRest = (out['JRest'] if self.JRest is None else
+                              jnp.where(mask, self.JRest, out['JRest']))
         else:
             self.params['J'] = out['J']
+            if 'JRest' in out:
+                self.JRest = out['JRest']
         self._GammaOut = out['Gamma']
         self._Rij = out['Rij']
         self._Rji = out['Rji']
@@ -286,8 +292,6 @@ class ColumnBatch:
         fc = self.flatCtx
         if fc is None:
             raise ValueError('PRD needs from_stacked batches')
-        if fc.cfg.hprd:
-            raise ValueError('hPRD is not supported in ColumnBatch')
         prdLines = fc._prd_lines()
         if not prdLines:
             return IterationUpdate(self)
@@ -334,7 +338,13 @@ class ColumnBatch:
                 n = self.params['pops'][ai]
                 gammaPre = (n[:, t.i] / n[:, t.j] * t.Bij / PjQj)
                 Jbar = self._Rij[ai][ti] / t.Bij
-                Jw = self.params['J'][:, t.Nblue:t.Nred]
+                if fc.cfg.hprd and self.JRest is not None:
+                    # comoving-frame scattering source (ref: Prd.cpp:484-491)
+                    prdWin = jnp.asarray(
+                        fc.cfg.laToPrdLa[t.Nblue:t.Nred])
+                    Jw = self.JRest[:, prdWin]
+                else:
+                    Jw = self.params['J'][:, t.Nblue:t.Nred]
                 rNew = self._prd_scatter(
                     c['qWave'], c['aDamp'],
                     Jw.astype(self.cfg.dtype),
@@ -352,6 +362,8 @@ class ColumnBatch:
             Jsub = self.params['J'][:, subJ]
             self.params['J'] = self.params['J'].at[:, subJ].set(
                 jnp.where(mask, Jsub, out['J'].astype(Jsub.dtype)))
+            if 'JRest' in out and self.JRest is not None:
+                self.JRest = jnp.where(mask, self.JRest, out['JRest'])
             Isub = self.I[:, subJ]
             self.I = self.I.at[:, subJ].set(
                 jnp.where(mask, Isub, out['I'].astype(Isub.dtype)))

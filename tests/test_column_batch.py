@@ -182,3 +182,65 @@ def test_batch_prd_matches_single_context():
     rho1 = np.asarray(ctx.rhoPrd[ai][ti])
     assert np.abs(batch.pops[0][0] / n1 - 1).max() < 1e-8
     assert np.abs(rhoBatch[0] - rho1).max() < 1e-8
+
+
+@pytest.mark.slow
+def test_batch_hprd_matches_single_context():
+    """hPRD in ColumnBatch: per-column comoving-frame coefficients ride
+    in the params pytree (vmapped), so a batch with per-column velocity
+    fields follows each column's standalone hPRD trajectory.
+    ref: /root/reference/Source/Prd.cpp:697-945."""
+    from lightweaver_tpu.rh_atoms import H_6_atom as H6
+
+    full = Falc82()
+    idx = np.unique(np.linspace(0, 81, 24).astype(int))
+    Nk = len(idx)
+    C = 2
+    rep = lambda a: np.broadcast_to(a[idx], (C, Nk)).copy()
+    # DISTINCT per-column velocity fields: column 0 static, column 1
+    # with a 5 km/s outflow gradient
+    vlos = np.zeros((C, Nk))
+    vlos[1] = np.linspace(5e3, 0.0, Nk)
+    batch = ColumnBatch.from_stacked(
+        full.height[idx], rep(full.temperature), vlos,
+        rep(full.vturb), rep(full.ne), rep(full.nHTot),
+        lambda: [H6()], ('H',), Nrays=3, hprd=True,
+        accelerateScattering=True)
+    assert batch.flatCtx.cfg.hprd
+    nIt = batch.iterate(NmaxIter=250, prd=True, maxPrdSubIter=4,
+                        prdTol=1e-3)
+    assert batch.converged.all()
+    ai, ti, a, t = batch.flatCtx._prd_lines()[0]
+    rhoBatch = np.asarray(batch.params['rhoPrd'][ai][ti])
+    assert np.all(np.isfinite(rhoBatch)) and np.all(rhoBatch > 0)
+    # the velocity column's rho must differ from the static column's
+    assert np.abs(rhoBatch[1] - rhoBatch[0]).max() > 1e-3
+
+    # standalone hPRD contexts, one per column, driven for the same
+    # number of iterations as that column took in the batch
+    for c in range(C):
+        atmos = Atmosphere(height=full.height[idx],
+                           temperature=full.temperature[idx].copy(),
+                           vlos=vlos[c].copy(),
+                           vturb=full.vturb[idx].copy(),
+                           ne=full.ne[idx].copy(),
+                           nHTot=full.nHTot[idx].copy())
+        atmos.quadrature(3)
+        rs = RadiativeSet([H6()])
+        rs.set_active('H')
+        spect = rs.compute_wavelength_grid()
+        eqPops = rs.compute_eq_pops(atmos)
+        ctx = Context(atmos, spect, eqPops, hprd=True,
+                      accelerateScattering=True)
+        nThis = int(batch.nIterCol[c])
+        for it in range(nThis):
+            ctx.formal_sol_gamma_matrices()
+            if it >= 3:
+                ctx.stat_equil()
+                ctx.prd_redistribute(maxIter=4, tol=1e-3)
+        n1 = np.asarray(ctx.popsState[0]['n'])
+        rho1 = np.asarray(ctx.rhoPrd[ai][ti])
+        # vmapped-vs-flat reduction order leaves ~5e-8 after ~200
+        # iterations of feedback
+        assert np.abs(batch.pops[0][c] / n1 - 1).max() < 1e-6, c
+        assert np.abs(rhoBatch[c] - rho1).max() < 1e-6, c
