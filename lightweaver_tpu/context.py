@@ -132,6 +132,11 @@ class IterConfig:
     # IeffBar) instead of broadcasting them onto the [W,Nmu,2,Nk] ray
     # tensor; 'dense' is the straightforward reference-shaped path.
     gammaMode: str = 'factored'
+    # iteration scheme (TPU-form of the reference's per-SIMD plugin
+    # selection, LwFormalInterface.hpp:110-136): 'mali_full_precond'
+    # (XLA) or 'mali_full_precond_pallas' (fused Mosaic kernel for the
+    # per-line Gamma/rate accumulation; ops/pallas_gamma.py)
+    fsIterScheme: str = 'mali_full_precond'
     # 2D extensions
     Ndim: int = 1
     # upwind-interpolation function for 2D sweeps, mirroring the
@@ -358,6 +363,26 @@ def build_iteration_fn(cfg: IterConfig):
     wmu = jnp.asarray(cfg.wmu, dt)
     lamGrid = jnp.asarray(cfg.wavelength, dt)
 
+    usePallas = (getattr(cfg, 'fsIterScheme', 'mali_full_precond')
+                 == 'mali_full_precond_pallas')
+    if usePallas:
+        from .ops.pallas_gamma import (BW as _PBW, aligned_window,
+                                       group_gamma_rates, line_groups,
+                                       pallas_scheme_supported)
+        if not pallas_scheme_supported(cfg):
+            raise ValueError(
+                'mali_full_precond_pallas does not support this '
+                'configuration (needs 1D, factored Gamma, no hPRD, no '
+                'same-atom line-line window overlaps)')
+    # the Pallas scheme pads the wavelength axis so every BW-aligned
+    # line-window block is in range; pad rows carry chi=1/eta=0 and
+    # zero integration weight, and are sliced off J/I/emergent outputs
+    padRows = (-Nlam) % _PBW if usePallas else 0
+    NlamPad = Nlam + padRows
+    lamGridF = jnp.asarray(np.concatenate(
+        [np.asarray(cfg.wavelength),
+         np.full(padRows, np.asarray(cfg.wavelength)[-1])]), dt)
+
     def gather(params):
         chiT, etaT, UjiT = [], [], []
         contribs = []                 # (Nblue, Nred, chi_t, eta_t)
@@ -395,6 +420,10 @@ def build_iteration_fn(cfg: IterConfig):
             shape = (s1 - s0, Nmu, 2, Nk)
             segsChi.append(jnp.broadcast_to(segChi, shape))
             segsEta.append(jnp.broadcast_to(segEta, shape))
+        if padRows:
+            shape = (padRows, Nmu, 2, Nk)
+            segsChi.append(jnp.ones(shape, dt))
+            segsEta.append(jnp.zeros(shape, dt))
         chiTot = jnp.concatenate(segsChi, axis=0)
         etaTot = jnp.concatenate(segsEta, axis=0)
         return chiTot, etaTot, chiT, etaT, UjiT
@@ -495,22 +524,27 @@ def build_iteration_fn(cfg: IterConfig):
     def formal_solve(params, chiTot, S):
         T = params['temperature']
         height = params['height']
-        muzB = jnp.broadcast_to(muz[None, :], (Nlam, Nmu)).reshape(-1)
+        NL = chiTot.shape[0]            # Nlam, or NlamPad (Pallas scheme)
+        lamG = lamGrid if NL == Nlam else lamGridF
+        muzB = jnp.broadcast_to(muz[None, :], (NL, Nmu)).reshape(-1)
 
         # down sweep (toObs=False, d=0): upper BC
         chiD = chiTot[:, :, 0].reshape(-1, Nk)
         SD = S[:, :, 0].reshape(-1, Nk)
         if params.get('upperBcData') is not None:
-            Iupw_d = params['upperBcData'].reshape(-1)
+            Iupw_d = params['upperBcData']
+            if NL != Nlam:
+                Iupw_d = jnp.pad(Iupw_d, ((0, NL - Nlam), (0, 0)))
+            Iupw_d = Iupw_d.reshape(-1)
         elif cfg.upperThermalised:
-            Bnu0 = planck_nu(T[0], lamGrid)
-            Bnu1 = planck_nu(T[1], lamGrid)
+            Bnu0 = planck_nu(T[0], lamG)
+            Bnu1 = planck_nu(T[1], lamG)
             dtau = (0.5 * (chiTot[:, :, 0, 0] + chiTot[:, :, 0, 1])
                     * jnp.abs(height[0] - height[1]) / muz[None, :])
             Iupw_d = (Bnu0[:, None]
                       - (Bnu1[:, None] - Bnu0[:, None]) / dtau).reshape(-1)
         else:
-            Iupw_d = jnp.zeros(Nlam * Nmu, dt)
+            Iupw_d = jnp.zeros(NL * Nmu, dt)
         I_d, Psi_d, Ieffb_d = formal_sol_1d(
             chiD, SD, height, muzB, Iupw_d, to_obs=False,
             method=cfg.formalSolver, mode=cfg.recurrenceMode)
@@ -519,27 +553,30 @@ def build_iteration_fn(cfg: IterConfig):
         chiU = chiTot[:, :, 1].reshape(-1, Nk)
         SU = S[:, :, 1].reshape(-1, Nk)
         if params.get('lowerBcData') is not None:
-            Iupw_u = params['lowerBcData'].reshape(-1)
+            Iupw_u = params['lowerBcData']
+            if NL != Nlam:
+                Iupw_u = jnp.pad(Iupw_u, ((0, NL - Nlam), (0, 0)))
+            Iupw_u = Iupw_u.reshape(-1)
         elif cfg.lowerThermalised:
-            BnuN = planck_nu(T[Nk - 1], lamGrid)
-            BnuN1 = planck_nu(T[Nk - 2], lamGrid)
+            BnuN = planck_nu(T[Nk - 1], lamG)
+            BnuN1 = planck_nu(T[Nk - 2], lamG)
             dtau = (0.5 * (chiTot[:, :, 1, Nk - 1] + chiTot[:, :, 1, Nk - 2])
                     * jnp.abs(height[Nk - 1] - height[Nk - 2])
                     / muz[None, :])
             Iupw_u = (BnuN[:, None]
                       - (BnuN1[:, None] - BnuN[:, None]) / dtau).reshape(-1)
         else:
-            Iupw_u = jnp.zeros(Nlam * Nmu, dt)
+            Iupw_u = jnp.zeros(NL * Nmu, dt)
         I_u, Psi_u, Ieffb_u = formal_sol_1d(
             chiU, SU, height, muzB, Iupw_u, to_obs=True,
             method=cfg.formalSolver, mode=cfg.recurrenceMode)
 
-        I = jnp.stack([I_d.reshape(Nlam, Nmu, Nk),
-                       I_u.reshape(Nlam, Nmu, Nk)], axis=2)
-        Psi = jnp.stack([Psi_d.reshape(Nlam, Nmu, Nk),
-                         Psi_u.reshape(Nlam, Nmu, Nk)], axis=2)
-        IeffBase = jnp.stack([Ieffb_d.reshape(Nlam, Nmu, Nk),
-                              Ieffb_u.reshape(Nlam, Nmu, Nk)], axis=2)
+        I = jnp.stack([I_d.reshape(NL, Nmu, Nk),
+                       I_u.reshape(NL, Nmu, Nk)], axis=2)
+        Psi = jnp.stack([Psi_d.reshape(NL, Nmu, Nk),
+                         Psi_u.reshape(NL, Nmu, Nk)], axis=2)
+        IeffBase = jnp.stack([Ieffb_d.reshape(NL, Nmu, Nk),
+                              Ieffb_u.reshape(NL, Nmu, Nk)], axis=2)
         return I, Psi, IeffBase
 
     def level_sum_on_window(arrs, a: AtomStatic, t: TransStatic, items,
@@ -567,8 +604,10 @@ def build_iteration_fn(cfg: IterConfig):
         JdagW = params['J'].astype(cfg.dtype)
 
         chiTot, etaTot, chiT, etaT, UjiT = gather(params)
-        srcNum = (etaTot
-                  + params['bgSca'][:, None, None, :] * JdagW[:, None, None, :])
+        scaJ = params['bgSca'] * JdagW
+        if padRows:
+            scaJ = jnp.pad(scaJ, ((0, padRows), (0, 0)))
+        srcNum = etaTot + scaJ[:, None, None, :]
         S = srcNum / chiTot
         if cfg.Ndim == 2:
             I, Psi, IeffBase = formal_solve_2d(params, chiTot, S)
@@ -585,11 +624,11 @@ def build_iteration_fn(cfg: IterConfig):
         # 5-ray problems (measured round 3; the 40-pt 3-ray
         # test_mixed_precision case converges either way and does NOT
         # catch this).  Do not "optimise" this cast away.
-        Jnew = _sum_mu(I.astype(cfg.accumDtype),
+        Jnew = _sum_mu(I[:Nlam].astype(cfg.accumDtype),
                        0.5 * wmu.astype(cfg.accumDtype))
         if cfg.accelerateScattering:
             Jnew = _accelerate_scattering(
-                Jnew, Jdag, Psi, params['bgSca'],
+                Jnew, Jdag, Psi[:Nlam], params['bgSca'],
                 (0.5 * wmu).astype(cfg.accumDtype), cfg.accumDtype)
         dJ = jnp.max(jnp.abs(1.0 - jnp.where(Jnew != 0.0, Jdag / Jnew, 1.0)))
 
@@ -627,9 +666,10 @@ def build_iteration_fn(cfg: IterConfig):
             # traffic of the dense path).  The mu contraction runs in
             # the working dtype BEFORE the accumDtype cast (see
             # _sum_lmd_split for the rationale; no-op when adt == dt).
-            PsiBar = _sum_mu(Psi, wmu2w).astype(adt)
-            IBar = _sum_mu(I, wmu2w).astype(adt)
-            IeffBaseSrcBar = _sum_mu(IeffBase + Psi * srcNum,
+            PsiBar = _sum_mu(Psi[:Nlam], wmu2w).astype(adt)
+            IBar = _sum_mu(I[:Nlam], wmu2w).astype(adt)
+            IeffBaseSrcBar = _sum_mu(IeffBase[:Nlam]
+                                     + Psi[:Nlam] * srcNum[:Nlam],
                                      wmu2w).astype(adt)
 
         def eta_atom_on_window(ai, a, lo, hi):
@@ -642,6 +682,125 @@ def build_iteration_fn(cfg: IterConfig):
                 out = _window_add(
                     out, l2 - lo, etaT[ai][t2i][l2 - t2.Nblue:h2 - t2.Nblue])
             return out
+
+        pallasLine = {}
+        pallasPair = {}
+        if usePallas:
+            # fused Mosaic kernel per overlap group of lines:
+            # Gamma/rate lambda-block partials + the mu-reduced phi*Psi
+            # moments, from which every continuum cross term involving
+            # group lines is assembled without materialising
+            # [W, Nmu, 2, Nk] windows (see ops/pallas_gamma.py).
+            # Mosaic wants rank-3 [rows, M2, Nk] operands (see the
+            # module docstring), hence the (Nmu, 2) merges here.
+            M2 = Nmu * 2
+            Psi3 = Psi.reshape(NlamPad, M2, Nk)
+            Ieffb3 = IeffBase.reshape(NlamPad, M2, Nk)
+            I3 = I.reshape(NlamPad, M2, Nk)
+            S3 = S.reshape(NlamPad, M2, Nk)
+            chiTot3 = chiTot.reshape(NlamPad, M2, Nk)
+            wmuHalf = tuple(float(x) for x in 0.5 * np.asarray(cfg.wmu))
+            for ai, a in enumerate(cfg.activeAtoms):
+                Nlev = a.Nlevel
+                # dense per-level continuum member sums on the padded grid
+                chiCL = jnp.zeros((Nlev, NlamPad, Nk), dt)
+                UCL = jnp.zeros((Nlev, NlamPad, Nk), dt)
+                etaC = jnp.zeros((NlamPad, Nk), dt)
+                for t2i, t2 in enumerate(a.trans):
+                    if t2.isLine:
+                        continue
+                    etaC = _window_add(etaC, t2.Nblue,
+                                       etaT[ai][t2i][:, 0, 0, :])
+                for lvl in range(Nlev):
+                    for (t2i, sign) in a.chiLists[lvl]:
+                        t2 = a.trans[t2i]
+                        if t2.isLine:
+                            continue
+                        chiCL = _slab_add(
+                            chiCL, (lvl, t2.Nblue, 0), (1, t2.W, Nk),
+                            sign * chiT[ai][t2i][None, :, 0, 0, :])
+                    for t2i in a.ULists[lvl]:
+                        t2 = a.trans[t2i]
+                        if t2.isLine:
+                            continue
+                        UCL = _slab_add(
+                            UCL, (lvl, t2.Nblue, 0), (1, t2.W, Nk),
+                            UjiT[ai][t2i][None, :, 0, 0, :])
+                nW = params['allPops'][ai]
+                for group in line_groups(a):
+                    ts = [a.trans[ti] for ti in group]
+                    K = len(ts)
+                    gNb = min(t.Nblue for t in ts)
+                    gNr = max(t.Nred for t in ts)
+                    aNb, Wu, _, _ = aligned_window(gNb, gNr)
+                    phiL, rhoL, coefL, wphiL = [], [], [], []
+                    chiFacL, UFacL = [], []
+                    for t, ti in zip(ts, group):
+                        lo = t.Nblue - aNb
+                        coef = np.zeros((Wu, 4))
+                        lamW = np.asarray(t.wavelength, np.float64)
+                        coef[lo:lo + t.W, 0] = (
+                            Const.HC_FOURPI * (t.lambda0 / lamW) * t.Bij)
+                        coef[lo:lo + t.W, 1] = t.Bji / t.Bij
+                        coef[lo:lo + t.W, 2] = t.Aji / t.Bji
+                        coef[lo:lo + t.W, 3] = (
+                            np.asarray(t.wlambda) * Const.FOURPI_HC)
+                        coefL.append(coef)
+                        pad = ((lo, Wu - lo - t.W),)
+                        phiL.append(jnp.pad(
+                            params['phi'][ai][ti],
+                            pad + ((0, 0),) * 3).reshape(Wu, M2, Nk))
+                        rho = None
+                        if t.isPrd and params.get('rhoPrd') is not None:
+                            r = params['rhoPrd'][ai][ti]
+                            if r is not None:
+                                rho = r.astype(dt)
+                        if rho is None:
+                            rhoL.append(jnp.ones((Wu, Nk), dt))
+                        else:
+                            rhoL.append(jnp.pad(rho, pad + ((0, 0),),
+                                                constant_values=1.0))
+                        wphiL.append(params['wphi'][ai][ti])
+                        # mu-independent member factors over union rows
+                        a1c = jnp.asarray(coef[:, 0], dt)[:, None]
+                        gS, uS = t.Bji / t.Bij, t.Aji / t.Bji
+                        chiFacL.append((nW[t.i][None, :]
+                                        - gS * rhoL[-1] * nW[t.j][None, :])
+                                       * a1c)
+                        UFacL.append(uS * gS * a1c * rhoL[-1])
+                    levels = [(t.i, t.j) for t in ts]
+                    signs = [[(float((t2.i == t.i) - (t2.j == t.i)),
+                               float((t2.i == t.j) - (t2.j == t.j)))
+                              for t2 in ts] for t in ts]
+                    uIn = [[(float(t2.j == t.i), float(t2.j == t.j))
+                            for t2 in ts] for t in ts]
+                    G4, PPB, PairPPB = group_gamma_rates(
+                        jnp.stack(phiL), jnp.stack(rhoL),
+                        Psi3, Ieffb3, I3, S3, chiTot3,
+                        chiCL, UCL, etaC, nW,
+                        jnp.asarray(np.stack(coefL), dt),
+                        jnp.stack(wphiL), wmuHalf=wmuHalf,
+                        levels=tuple(levels),
+                        signs=tuple(map(tuple, signs)),
+                        uIn=tuple(map(tuple, uIn)), alignedNblue=aNb)
+                    for m, (t, ti) in enumerate(zip(ts, group)):
+                        # mu-reduced member rows (rho is mu-independent
+                        # in the supported non-hPRD scope, so phi*Psi
+                        # factors out of the angular sum exactly)
+                        pallasLine[(ai, ti)] = dict(
+                            G4=G4[m], aNb=aNb,
+                            chiPsiBar=chiFacL[m] * PPB[m],
+                            UPsiBar=UFacL[m] * PPB[m],
+                            etaPsiBar=(nW[t.j][None, :] * UFacL[m]
+                                       * PPB[m]))
+                    pairs = [(m, m2) for m in range(K)
+                             for m2 in range(m + 1, K)]
+                    for pi, (m, m2) in enumerate(pairs):
+                        mom = PairPPB[pi]
+                        pallasPair[(ai, group[m], group[m2])] = dict(
+                            aNb=aNb,
+                            chiU=chiFacL[m] * UFacL[m2] * mom,
+                            UChi=UFacL[m] * chiFacL[m2] * mom)
 
         GammaOut, RijOut, RjiOut = [], [], []
         for ai, a in enumerate(cfg.activeAtoms):
@@ -663,7 +822,12 @@ def build_iteration_fn(cfg: IterConfig):
                 PsiEtaBar = jnp.zeros((Nlam, Nk), adt)
                 for ti, t in enumerate(a.trans):
                     sl = slice(t.Nblue, t.Nred)
-                    if t.isLine:
+                    if t.isLine and usePallas:
+                        pline = pallasLine[(ai, ti)]
+                        lo = t.Nblue - pline['aNb']
+                        contrib = pline['etaPsiBar'][lo:lo + t.W] \
+                            .astype(adt)
+                    elif t.isLine:
                         contrib = _sum_mu(etaT[ai][ti] * Psi[sl],
                                           wmu2w).astype(adt)
                     else:
@@ -707,11 +871,24 @@ def build_iteration_fn(cfg: IterConfig):
                         l2, h2 = max(lo, t2.Nblue), min(hi, t2.Nred)
                         if h2 <= l2:
                             continue
-                        chiSub = chiT[ai][t2i][l2 - t2.Nblue:h2 - t2.Nblue]
-                        total = total + sign * _sum_lmd_split(
-                            chiSub * Psi[l2:h2],
-                            UC[l2 - lo:h2 - lo] * wlaA[l2 - lo:h2 - lo],
-                            wmu2, wmu2w, adt)
+                        if usePallas:
+                            # phi*Psi mu-moment from the line kernel:
+                            # chi_t2 is mu-independent * phi, so the
+                            # angular sum factors exactly
+                            pline = pallasLine[(ai, t2i)]
+                            sub = pline['chiPsiBar'][
+                                l2 - pline['aNb']:h2 - pline['aNb']]
+                            total = total + sign * jnp.sum(
+                                sub.astype(adt)
+                                * UC[l2 - lo:h2 - lo]
+                                * wlaA[l2 - lo:h2 - lo], axis=0)
+                        else:
+                            chiSub = chiT[ai][t2i][l2 - t2.Nblue:
+                                                   h2 - t2.Nblue]
+                            total = total + sign * _sum_lmd_split(
+                                chiSub * Psi[l2:h2],
+                                UC[l2 - lo:h2 - lo] * wlaA[l2 - lo:h2 - lo],
+                                wmu2, wmu2w, adt)
                         for t3i in listU:
                             t3 = a.trans[t3i]
                             if not t3.isLine:
@@ -719,6 +896,18 @@ def build_iteration_fn(cfg: IterConfig):
                             l3 = max(l2, t3.Nblue)
                             h3 = min(h2, t3.Nred)
                             if h3 <= l3:
+                                continue
+                            if usePallas:
+                                # pair moment from the group kernel:
+                                # chi_t2 * U_t3 * Psi mu-reduced
+                                key = (ai, min(t2i, t3i), max(t2i, t3i))
+                                pp = pallasPair[key]
+                                rows = (pp['chiU'] if t2i < t3i
+                                        else pp['UChi'])
+                                sub = rows[l3 - pp['aNb']:h3 - pp['aNb']]
+                                total = total + sign * jnp.sum(
+                                    sub.astype(adt)
+                                    * wlaA[l3 - lo:h3 - lo], axis=0)
                                 continue
                             total = total + sign * _sum_lmd_split(
                                 chiT[ai][t2i][l3 - t2.Nblue:h3 - t2.Nblue]
@@ -733,6 +922,15 @@ def build_iteration_fn(cfg: IterConfig):
                         l3, h3 = max(lo, t3.Nblue), min(hi, t3.Nred)
                         if h3 <= l3:
                             continue
+                        if usePallas:
+                            pline = pallasLine[(ai, t3i)]
+                            sub = pline['UPsiBar'][
+                                l3 - pline['aNb']:h3 - pline['aNb']]
+                            total = total + jnp.sum(
+                                sub.astype(adt)
+                                * XC[l3 - lo:h3 - lo]
+                                * wlaA[l3 - lo:h3 - lo], axis=0)
+                            continue
                         USub = UjiT[ai][t3i][l3 - t3.Nblue:h3 - t3.Nblue]
                         total = total + _sum_lmd_split(
                             USub * Psi[l3:h3],
@@ -743,6 +941,15 @@ def build_iteration_fn(cfg: IterConfig):
             Rij, Rji = [], []
             for ti, t in enumerate(a.trans):
                 sl = slice(t.Nblue, t.Nred)
+                if usePallas and t.isLine:
+                    # fused kernel already produced the lambda-block
+                    # partials; finish the lambda sum in accumDtype
+                    G4 = pallasLine[(ai, ti)]['G4'].astype(adt)
+                    Gamma = Gamma.at[t.i, t.j].add(jnp.sum(G4[0], axis=0))
+                    Gamma = Gamma.at[t.j, t.i].add(jnp.sum(G4[1], axis=0))
+                    Rij.append(jnp.sum(G4[2], axis=0))
+                    Rji.append(jnp.sum(G4[3], axis=0))
+                    continue
                 Uji, Vij, Vji = _uv(cfg, params, ai, ti, t)
                 wla = _wla(cfg, params, ai, ti, t)         # [W, Nk]
                 wlaA = wla.astype(adt)
@@ -808,7 +1015,7 @@ def build_iteration_fn(cfg: IterConfig):
         if cfg.Ndim == 2:
             Iout = I[:, :, 1, :cfg.Nx]   # emergent upgoing top plane
         else:
-            Iout = I[:, :, 1, 0]    # emergent (upgoing, top)
+            Iout = I[:Nlam, :, 1, 0]    # emergent (upgoing, top)
         out = {'Gamma': GammaOut, 'Rij': RijOut, 'Rji': RjiOut,
                'J': Jnew, 'I': Iout, 'dJ': dJ}
         if JRest is not None:
@@ -816,9 +1023,9 @@ def build_iteration_fn(cfg: IterConfig):
         if storeDepthData:
             # full-resolution capture of chi/eta/I per (lambda, mu, +/-, k)
             # (ref DepthData: /root/reference/Source/LwContext.hpp:12-18)
-            out['depthChi'] = chiTot
-            out['depthEta'] = etaTot
-            out['depthI'] = I
+            out['depthChi'] = chiTot[:Nlam]
+            out['depthEta'] = etaTot[:Nlam]
+            out['depthI'] = I[:Nlam]
         return out
 
     # expose the stage closures for component-level benchmarking/tests
@@ -1032,7 +1239,8 @@ class Context:
                  crswCallback=None,
                  dtype=None, accumDtype=None,
                  accelerateScattering: bool = False,
-                 mesh=None, meshXAxis: str = 'x'):
+                 mesh=None, meshXAxis: str = 'x',
+                 fsIterScheme: Optional[str] = None):
         self.atmos = atmos
         self.spect = spect
         self.eqPops = eqPops
@@ -1116,6 +1324,7 @@ class Context:
             raise ValueError('mesh= is only supported for 2D atmospheres '
                              '(1.5D column batches shard via '
                              'parallel.columns.ColumnBatch)')
+        self._fsIterSchemeRequested = fsIterScheme
 
         if backgroundProvider is None:
             backgroundProvider = basic_background
@@ -1193,6 +1402,9 @@ class Context:
         # (ref: /root/reference/Source/LwMiddleLayer.pyx:469-553)
         self.depthData = SimpleNamespace(fill=False, chi=None, eta=None,
                                          I=None)
+
+        if self._fsIterSchemeRequested is not None:
+            self.set_fs_iter_scheme(self._fsIterSchemeRequested)
 
     # expose static atom lists like before
     @property
@@ -2567,21 +2779,36 @@ class Context:
         self._swap_cfg(interpFn2d=name)
 
     def set_fs_iter_scheme(self, name: str):
-        """Iteration-scheme selection compatibility shim.  The reference
-        ships per-SIMD variants of one scheme (mali_full_precond_*); on
-        TPU there is a single fused program whose precision/recurrence
-        variants are Context kwargs, so only the canonical name is
-        accepted (ref: LwMiddleLayer.pyx:3077-3098)."""
-        if name.partition('_scalar')[0].partition('_SSE2')[0] \
-               .partition('_AVX')[0] != 'mali_full_precond':
-            raise ValueError(f'Unknown iteration scheme {name!r}; the '
-                             "TPU build implements 'mali_full_precond'")
+        """Iteration-scheme selection (TPU-form of the reference's
+        per-SIMD plugin registry, LwMiddleLayer.pyx:3077-3098).  Two
+        schemes exist: 'mali_full_precond' (XLA, the general path) and
+        'mali_full_precond_pallas' (fused Mosaic Gamma/rate kernel —
+        1D, factored Gamma, no hPRD, no same-atom line-line window
+        overlaps; see ops/pallas_gamma.py).  Reference per-SIMD suffixes
+        (_scalar/_SSE2/_AVX*) alias the XLA scheme."""
+        base = name.partition('_scalar')[0].partition('_SSE2')[0] \
+                   .partition('_AVX')[0]
+        if base == 'mali_full_precond_pallas':
+            from .ops.pallas_gamma import pallas_scheme_supported
+            if not pallas_scheme_supported(self.cfg):
+                raise ValueError(
+                    'mali_full_precond_pallas does not support this '
+                    'configuration (needs 1D, factored Gamma, no hPRD, '
+                    'no same-atom line-line window overlaps)')
+            self._swap_cfg(fsIterScheme='mali_full_precond_pallas')
+        elif base == 'mali_full_precond':
+            self._swap_cfg(fsIterScheme='mali_full_precond')
+        else:
+            raise ValueError(f'Unknown iteration scheme {name!r}; '
+                             "available: 'mali_full_precond', "
+                             "'mali_full_precond_pallas'")
 
     def get_fs_iter_scheme_properties(self, fsIterScheme=None) -> dict:
-        """Properties of the (single) iteration scheme, with the
+        """Properties of the selected iteration scheme, with the
         reference's key layout
         (ref: LwMiddleLayer.pyx:4186-4194)."""
-        return {'name': 'mali_full_precond',
+        return {'name': getattr(self.cfg, 'fsIterScheme',
+                                'mali_full_precond'),
                 'Ndim': self.cfg.Ndim,
                 'dimensionSpecific': False,
                 'respectsFormalSolver': True,
