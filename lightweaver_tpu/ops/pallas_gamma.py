@@ -66,9 +66,12 @@ from jax.experimental.pallas import tpu as pltpu
 _Z = np.int32(0)
 _I8 = np.int32(8)
 
-# tracing the Mosaic kernel inside the (already deep) jaxpr of the full
-# MALI iteration exceeds CPython's default 1000-frame recursion limit
-sys.setrecursionlimit(max(sys.getrecursionlimit(), 20000))
+
+def _ensure_recursion_limit():
+    """Tracing the Mosaic kernel inside the (already deep) jaxpr of the
+    full MALI iteration exceeds CPython's default 1000-frame recursion
+    limit.  Raised lazily on first kernel build, not at import time."""
+    sys.setrecursionlimit(max(sys.getrecursionlimit(), 20000))
 
 # lambda-block row count (sublane-divisible)
 BW = 16
@@ -134,6 +137,7 @@ def group_gamma_rates(phiS, rhoS, Psi, IeffBase, I, S, chiTot,
     Gij,Gji,Rij,Rji; PPB [K, Wu, Nk]; PairPPB [P, Wu, Nk] for pairs
     (m, m2), m < m2 — dummy leading dim 1 when K == 1).
     """
+    _ensure_recursion_limit()
     K, Wu, M2, Nk = phiS.shape
     Nmu = M2 // 2
     assert Wu % BW == 0 and alignedNblue % BW == 0
