@@ -41,10 +41,14 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
     (num_processes=1) is valid and turns the whole module into a no-op
     pipeline, so driver scripts run unchanged on one host.
     """
-    if jax.process_count() > 1:
-        return      # already initialised by the runtime
     if num_processes == 1:
         return      # single process: nothing to coordinate
+    # NOTE: do not touch jax.process_count()/jax.devices() here -- that
+    # would initialise the backends, after which distributed.initialize
+    # is no longer allowed.  Probe the distributed client state directly.
+    from jax._src import distributed as _dist
+    if getattr(_dist.global_state, 'client', None) is not None:
+        return      # already initialised by the runtime
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,

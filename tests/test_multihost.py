@@ -1,6 +1,14 @@
-"""Multi-host helpers: exercised in single-process mode (the degenerate
-but API-complete case) plus the 8-virtual-device global mesh."""
+"""Multi-host helpers: single-process API checks, the 8-virtual-device
+global mesh, AND a true 2-process jax.distributed run (subprocess-spawned
+workers, localhost coordinator, 4 virtual CPU devices each)."""
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
 import numpy as np
+import pytest
 
 import jax
 
@@ -58,3 +66,36 @@ def test_column_batch_on_global_mesh():
     assert np.all(np.isfinite(pops))
     # hotter columns ionise more Ca II away from the ground level
     assert not np.allclose(pops[0], pops[-1])
+
+
+@pytest.mark.slow
+def test_two_process_multihost():
+    """TRUE multi-process validation: two jax.distributed CPU processes
+    (localhost coordinator, 4 virtual devices each) build the 8-device
+    global mesh, each feeds ITS block of columns, and the sharded MALI
+    iterations must match an unsharded run (see multihost_worker.py)."""
+    worker = Path(__file__).parent / 'multihost_worker.py'
+    with socket.socket() as s:
+        s.bind(('127.0.0.1', 0))
+        port = s.getsockname()[1]
+
+    env = os.environ.copy()
+    env['XLA_FLAGS'] = '--xla_force_host_platform_device_count=4'
+    env['JAX_PLATFORMS'] = 'cpu'
+    env.pop('JAX_NUM_PROCESSES', None)
+    procs = [subprocess.Popen(
+        [sys.executable, str(worker), str(i), '2', str(port)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for i in range(2)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=900)
+            outs.append(out.decode(errors='replace'))
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f'worker {i} failed:\n{out[-4000:]}'
+        assert f'MULTIHOST OK p{i}/2' in out, out[-4000:]
