@@ -44,10 +44,26 @@ def _build_ctx(Nspace=500, Nrays=5, dtype=None, recurrenceMode='scan'):
                    recurrenceMode=recurrenceMode)
 
 
+def _time_ctx(ctx, Niter):
+    import jax
+    for _ in range(2):
+        ctx.formal_sol_gamma_matrices()
+    jax.block_until_ready(ctx.J)
+    t0 = time.perf_counter()
+    for _ in range(Niter):
+        ctx.formal_sol_gamma_matrices()
+    jax.block_until_ready(ctx.J)
+    return (time.perf_counter() - t0) / Niter
+
+
 def benchmark(Niter: int = 20, writeConfig: bool = False,
-              verbose: bool = True) -> dict:
-    """Time the MALI iteration for each (recurrence, precision) variant;
-    optionally persist the fastest combination to the user config."""
+              verbose: bool = True, schemes: Optional[list] = None) -> dict:
+    """Race every (recurrence, precision) kernel variant, then race the
+    iteration schemes (XLA vs fused-Pallas Gamma) at the winning
+    variant; optionally persist the winners to the user config.  The
+    TPU-form of the reference autotuner racing ALL of its per-SIMD
+    iteration-scheme plugins and persisting the fastest
+    (ref: /root/reference/lightweaver/benchmark.py:19-113)."""
     import jax
     import jax.numpy as jnp
 
@@ -56,29 +72,52 @@ def benchmark(Niter: int = 20, writeConfig: bool = False,
         ('parallel', 'f64', None),
         ('blocked', 'f64', None),
         ('scan', 'mixed', jnp.float32),
+        ('parallel', 'mixed', jnp.float32),
         ('blocked', 'mixed', jnp.float32),
     ]
     results = {}
     for mode, prec, dtype in variants:
         ctx = _build_ctx(dtype=dtype, recurrenceMode=mode)
-        for _ in range(2):
-            ctx.formal_sol_gamma_matrices()
-        jax.block_until_ready(ctx.J)
-        t0 = time.perf_counter()
-        for _ in range(Niter):
-            ctx.formal_sol_gamma_matrices()
-        jax.block_until_ready(ctx.J)
-        wall = (time.perf_counter() - t0) / Niter
+        wall = _time_ctx(ctx, Niter)
         results[(mode, prec)] = wall
         if verbose:
             print(f'{mode}/{prec}: {wall * 1e3:.1f} ms/iter')
 
     best = min(results, key=results.get)
+    bestDtype = jnp.float32 if best[1] == 'mixed' else None
+
+    # Scheme race at the winning variant.  The Pallas scheme is compiled
+    # Mosaic: only meaningful on a real TPU (interpret mode elsewhere
+    # would race emulation, not the kernel).
+    if schemes is None:
+        onTpu = jax.devices()[0].platform not in ('cpu',)
+        schemes = (['mali_full_precond', 'mali_full_precond_pallas']
+                   if onTpu else ['mali_full_precond'])
+    schemeResults = {'mali_full_precond': results[best]}
+    for scheme in schemes:
+        if scheme in schemeResults:
+            continue
+        ctx = _build_ctx(dtype=bestDtype, recurrenceMode=best[0])
+        try:
+            ctx.set_fs_iter_scheme(scheme)
+        except ValueError as e:
+            if verbose:
+                print(f'{scheme}: unsupported ({e})')
+            continue
+        wall = _time_ctx(ctx, Niter)
+        schemeResults[scheme] = wall
+        if verbose:
+            print(f'{scheme} [{best[0]}/{best[1]}]: '
+                  f'{wall * 1e3:.1f} ms/iter')
+    bestScheme = min(schemeResults, key=schemeResults.get)
+
     if verbose:
-        print(f'fastest: {best[0]}/{best[1]}')
+        print(f'fastest: {best[0]}/{best[1]}/{bestScheme}')
     if writeConfig:
         from .config import params
         params['RecurrenceMode'] = best[0]
         params['Precision'] = best[1]
+        params['IterationScheme'] = bestScheme
         params.save()
-    return {'timings': results, 'best': best}
+    return {'timings': results, 'best': best,
+            'schemeTimings': schemeResults, 'bestScheme': bestScheme}

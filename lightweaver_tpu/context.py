@@ -1234,7 +1234,7 @@ class Context:
                  nrHOnly: bool = False, hprd: bool = False,
                  formalSolver: str = 'piecewise_bezier3_1d',
                  interpFn2d: str = 'interp_linear_2d',
-                 recurrenceMode: str = 'scan',
+                 recurrenceMode: Optional[str] = None,
                  backgroundProvider=None,
                  crswCallback=None,
                  dtype=None, accumDtype=None,
@@ -1248,6 +1248,14 @@ class Context:
         self.nrHOnly = nrHOnly
         self.crswCallback = crswCallback
         self.crswDone = crswCallback is None
+        # Autotuned/persisted defaults (lightweaverrc) -- the TPU-form of
+        # the reference Context reading its config-selected SIMD impl
+        # (ref: /root/reference/lightweaver/LwCompiled context creation)
+        from .config import params as _cfgParams
+        if recurrenceMode is None:
+            recurrenceMode = _cfgParams.get('RecurrenceMode', 'scan')
+        if dtype is None and _cfgParams.get('Precision') == 'mixed':
+            dtype = jnp.float32
         if dtype is None:
             dtype = (jnp.float64 if jax.config.read('jax_enable_x64')
                      else jnp.float32)
@@ -1405,6 +1413,16 @@ class Context:
 
         if self._fsIterSchemeRequested is not None:
             self.set_fs_iter_scheme(self._fsIterSchemeRequested)
+        else:
+            # config-sourced scheme: best-effort (fall back silently to
+            # the XLA scheme when the problem is outside Pallas coverage)
+            cfgScheme = _cfgParams.get('IterationScheme',
+                                       'mali_full_precond')
+            if cfgScheme != 'mali_full_precond':
+                try:
+                    self.set_fs_iter_scheme(cfgScheme)
+                except ValueError:
+                    pass
 
     # expose static atom lists like before
     @property

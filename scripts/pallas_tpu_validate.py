@@ -25,6 +25,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import numpy as np
 
 import jax
+
+# x64 so f64-state configs are real f64 (emulated on TPU) and f32-state
+# configs get the documented f64 accumDtype (mixed precision)
+jax.config.update('jax_enable_x64', True)
 import jax.numpy as jnp
 
 
@@ -61,11 +65,14 @@ def max_scaled_err(a, b):
 
 def identity_check(tag, dtype):
     from lightweaver_tpu.context import build_iteration_fn
+    t0 = time.perf_counter()
     ctx = build_small_ctx(dtype)
+    log(stage=f'identity:{tag}:ctx_built', s=round(time.perf_counter()-t0, 1))
     for _ in range(3):
         ctx.formal_sol_gamma_matrices()
         ctx.stat_equil()
     ctx.formal_sol_gamma_matrices()
+    log(stage=f'identity:{tag}:warmed', s=round(time.perf_counter()-t0, 1))
     params = dict(ctx._params)
     outs = {}
     for scheme in ('mali_full_precond', 'mali_full_precond_pallas'):
@@ -75,6 +82,8 @@ def identity_check(tag, dtype):
         res = it(params)
         jax.block_until_ready(res['J'])
         outs[scheme] = (res, time.perf_counter() - t0)
+        log(stage=f'identity:{tag}:{scheme}:done',
+            compile_and_run_s=round(time.perf_counter() - t0, 1))
     x, p = outs['mali_full_precond'][0], outs['mali_full_precond_pallas'][0]
     errs = {
         'J': max_scaled_err(p['J'], x['J']),
@@ -102,6 +111,7 @@ def bench_race(dtype, nIter=50):
         ctx = build_ctx(dtype=dtype)
         if scheme != 'mali_full_precond':
             ctx.set_fs_iter_scheme(scheme)
+        log(stage='bench:start', scheme=scheme)
         t0 = time.perf_counter()
         wall = time_iterations(ctx, nIter=nIter)
         results[scheme] = wall / nIter * 1e3
@@ -123,16 +133,7 @@ def main():
         log(stage='identity:f32_state:verdict', ok=False,
             error=repr(e)[:800])
 
-    # B: f64-state attempt (Mosaic f64 support is not expected)
-    try:
-        errs = identity_check('f64_state', jnp.float64)
-        ok = all(v < 1e-12 for v in errs.values())
-        log(stage='identity:f64_state:verdict', ok=ok)
-    except Exception as e:
-        log(stage='identity:f64_state:verdict', ok=False,
-            error=repr(e)[:800])
-
-    # C: timing race on the bench problem
+    # B: timing race on the bench problem (the headline number)
     try:
         res = bench_race(jnp.float32)
         log(stage='bench:verdict',
@@ -140,6 +141,15 @@ def main():
                           / res['mali_full_precond_pallas'], 3))
     except Exception as e:
         log(stage='bench:verdict', error=repr(e)[:800])
+
+    # C: f64-state attempt (Mosaic f64 support is not expected)
+    try:
+        errs = identity_check('f64_state', jnp.float64)
+        ok = all(v < 1e-12 for v in errs.values())
+        log(stage='identity:f64_state:verdict', ok=ok)
+    except Exception as e:
+        log(stage='identity:f64_state:verdict', ok=False,
+            error=repr(e)[:800])
 
 
 if __name__ == '__main__':

@@ -18,6 +18,9 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax
+
+# match the driver bench environment (BENCH_r03: state=f32 accum=f64)
+jax.config.update('jax_enable_x64', True)
 import jax.numpy as jnp
 
 from bench import build_ctx
@@ -101,6 +104,19 @@ def breakdown(tag, ctx, accumDtype=None):
     cost(full, 'full', tFull)
 
 
+def breakdown_scheme(tag, ctx, scheme):
+    """Full-iteration timing under a named fsIterScheme."""
+    import dataclasses
+
+    from lightweaver_tpu.context import build_iteration_fn
+    cfg = dataclasses.replace(ctx.cfg, fsIterScheme=scheme)
+    it = build_iteration_fn(cfg)
+    params = dict(ctx._params)
+    full = jax.jit(lambda p: it(p))
+    t = timeit(full, params)
+    report(f'{tag}:full', 1e3 * t)
+
+
 if __name__ == '__main__':
     print(json.dumps({'device': str(jax.devices()[0])}), flush=True)
     ctxMixed = prepared_ctx(dtype=jnp.float32)
@@ -108,5 +124,7 @@ if __name__ == '__main__':
     # f32 accumulation (numerics would stall in production; this isolates
     # the cost of the f64-emulated accumulation contractions)
     breakdown('f32accum', ctxMixed, accumDtype=jnp.float32)
+    # the fused Pallas Gamma scheme at the benched mixed precision
+    breakdown_scheme('mixed_pallas', ctxMixed, 'mali_full_precond_pallas')
     ctx64 = prepared_ctx(dtype=jnp.float64)
     breakdown('f64', ctx64)

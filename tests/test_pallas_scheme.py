@@ -71,6 +71,54 @@ def test_pallas_scheme_matches_xla_f64():
 
 
 @pytest.mark.slow
+def test_pallas_scheme_matches_xla_f32_state():
+    """Mixed precision (f32 state + f64 accumDtype): the kernel's
+    in-block partial sums are f32 (Mosaic has no f64 vectors) over only
+    BW*Nmu*2 ~ 100 terms, with the inter-block lambda reduction in f64
+    -- so it must track the XLA scheme (f32 integrand, f64 sums) to a
+    few times f32 epsilon, scaled."""
+    import jax.numpy as jnp
+    _compare_schemes(_build_ctx(dtype=jnp.float32), tol=2e-5)
+
+
+@pytest.mark.slow
+def test_pallas_scheme_converges_f32_state():
+    """f32-state convergence floor under the Pallas scheme.
+
+    Plain f32 stalls at dJ ~ 1e-2 (CLAUDE.md); the mixed-precision
+    mechanisms (f64 lambda-reductions + compensated Ieff) push the
+    floor well below that.  The Pallas kernel's in-block partials are
+    f32 (Mosaic has no f64 vectors), which raises the observed dJ floor
+    slightly (~8e-3 vs ~4e-3 for XLA on this decimated FAL-C) but
+    leaves the dPops floor -- the reference's actual convergence
+    criterion -- untouched: both schemes reach dPops < 1e-3 and agree
+    on the converged populations."""
+    import jax.numpy as jnp
+    ctxX = _build_ctx(active=('Ca',), dtype=jnp.float32)
+    ctxP = _build_ctx(active=('Ca',), dtype=jnp.float32,
+                      fsIterScheme='mali_full_precond_pallas')
+
+    def run(ctx):
+        for it in range(400):
+            ju = ctx.formal_sol_gamma_matrices()
+            if it < 3:
+                continue
+            pu = ctx.stat_equil()
+            if float(ju.dJMax) < 1e-2 and pu.dPopsMax < 1e-3:
+                return it
+        raise AssertionError('no convergence')
+
+    run(ctxX)
+    run(ctxP)
+    # per-step scheme agreement is pinned at ~2e-5 by the identity test;
+    # here the two runs stop at different points on the f32 noise floor,
+    # so converged pops agree only to the floor itself (~dPops tol)
+    np.testing.assert_allclose(np.asarray(ctxP.popsState[0]['n']),
+                               np.asarray(ctxX.popsState[0]['n']),
+                               rtol=5e-3)
+
+
+@pytest.mark.slow
 def test_pallas_scheme_matches_xla_prd():
     """Angle-averaged PRD: the rho factor rides through the kernel."""
     ctx = _build_ctx(active=('H',))
