@@ -526,49 +526,51 @@ def build_iteration_fn(cfg: IterConfig):
         height = params['height']
         NL = chiTot.shape[0]            # Nlam, or NlamPad (Pallas scheme)
         lamG = lamGrid if NL == Nlam else lamGridF
-        muzB = jnp.broadcast_to(muz[None, :], (NL, Nmu)).reshape(-1)
 
         # down sweep (toObs=False, d=0): upper BC
-        chiD = chiTot[:, :, 0].reshape(-1, Nk)
-        SD = S[:, :, 0].reshape(-1, Nk)
         if params.get('upperBcData') is not None:
             Iupw_d = params['upperBcData']
             if NL != Nlam:
                 Iupw_d = jnp.pad(Iupw_d, ((0, NL - Nlam), (0, 0)))
-            Iupw_d = Iupw_d.reshape(-1)
         elif cfg.upperThermalised:
             Bnu0 = planck_nu(T[0], lamG)
             Bnu1 = planck_nu(T[1], lamG)
             dtau = (0.5 * (chiTot[:, :, 0, 0] + chiTot[:, :, 0, 1])
                     * jnp.abs(height[0] - height[1]) / muz[None, :])
-            Iupw_d = (Bnu0[:, None]
-                      - (Bnu1[:, None] - Bnu0[:, None]) / dtau).reshape(-1)
+            Iupw_d = Bnu0[:, None] - (Bnu1[:, None] - Bnu0[:, None]) / dtau
         else:
-            Iupw_d = jnp.zeros(NL * Nmu, dt)
-        I_d, Psi_d, Ieffb_d = formal_sol_1d(
-            chiD, SD, height, muzB, Iupw_d, to_obs=False,
-            method=cfg.formalSolver, mode=cfg.recurrenceMode)
+            Iupw_d = jnp.zeros((NL, Nmu), dt)
 
         # up sweep (toObs=True, d=1): lower BC
-        chiU = chiTot[:, :, 1].reshape(-1, Nk)
-        SU = S[:, :, 1].reshape(-1, Nk)
         if params.get('lowerBcData') is not None:
             Iupw_u = params['lowerBcData']
             if NL != Nlam:
                 Iupw_u = jnp.pad(Iupw_u, ((0, NL - Nlam), (0, 0)))
-            Iupw_u = Iupw_u.reshape(-1)
         elif cfg.lowerThermalised:
             BnuN = planck_nu(T[Nk - 1], lamG)
             BnuN1 = planck_nu(T[Nk - 2], lamG)
             dtau = (0.5 * (chiTot[:, :, 1, Nk - 1] + chiTot[:, :, 1, Nk - 2])
                     * jnp.abs(height[Nk - 1] - height[Nk - 2])
                     / muz[None, :])
-            Iupw_u = (BnuN[:, None]
-                      - (BnuN1[:, None] - BnuN[:, None]) / dtau).reshape(-1)
+            Iupw_u = BnuN[:, None] - (BnuN1[:, None] - BnuN[:, None]) / dtau
         else:
-            Iupw_u = jnp.zeros(NL * Nmu, dt)
+            Iupw_u = jnp.zeros((NL, Nmu), dt)
+
+        if cfg.recurrenceMode == 'pallas':
+            # fused Mosaic depth sweep: coefficients + recurrence +
+            # Psi/IeffBase in one VMEM-resident pass (ops/pallas_sweep.py)
+            from .ops.pallas_sweep import formal_solve_sweep
+            return formal_solve_sweep(chiTot, S, height, muz,
+                                      Iupw_d.astype(dt), Iupw_u.astype(dt))
+
+        muzB = jnp.broadcast_to(muz[None, :], (NL, Nmu)).reshape(-1)
+        I_d, Psi_d, Ieffb_d = formal_sol_1d(
+            chiTot[:, :, 0].reshape(-1, Nk), S[:, :, 0].reshape(-1, Nk),
+            height, muzB, Iupw_d.reshape(-1), to_obs=False,
+            method=cfg.formalSolver, mode=cfg.recurrenceMode)
         I_u, Psi_u, Ieffb_u = formal_sol_1d(
-            chiU, SU, height, muzB, Iupw_u, to_obs=True,
+            chiTot[:, :, 1].reshape(-1, Nk), S[:, :, 1].reshape(-1, Nk),
+            height, muzB, Iupw_u.reshape(-1), to_obs=True,
             method=cfg.formalSolver, mode=cfg.recurrenceMode)
 
         I = jnp.stack([I_d.reshape(NL, Nmu, Nk),
@@ -1254,6 +1256,13 @@ class Context:
         from .config import params as _cfgParams
         if recurrenceMode is None:
             recurrenceMode = _cfgParams.get('RecurrenceMode', 'scan')
+        if (recurrenceMode == 'pallas'
+                and (atmos.Ndim != 1
+                     or formalSolver != 'piecewise_bezier3_1d')):
+            raise ValueError(
+                "recurrenceMode='pallas' (fused Mosaic depth sweep) "
+                "requires a 1D atmosphere with the "
+                "'piecewise_bezier3_1d' formal solver")
         if dtype is None and _cfgParams.get('Precision') == 'mixed':
             dtype = jnp.float32
         if dtype is None:

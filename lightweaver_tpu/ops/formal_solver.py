@@ -167,6 +167,11 @@ def _affine_solve(A, b, mode='scan'):
 
     A, b: [..., N] in sweep order.  Returns I: [..., N].
     """
+    if mode == 'pallas':
+        # the fused Mosaic sweep applies at the iteration level
+        # (ops/pallas_sweep.py); standalone solves (compute_rays, PRD
+        # subset) fall back to the blocked scan
+        mode = 'blocked'
     if mode == 'scan':
         def step(I_prev, ab):
             a, bb = ab
