@@ -30,6 +30,7 @@ from typing import Dict, List, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from . import constants as Const
 from .atmosphere import (Atmosphere, PeriodicRadiation,
@@ -132,6 +133,13 @@ class IterConfig:
     # IeffBar) instead of broadcasting them onto the [W,Nmu,2,Nk] ray
     # tensor; 'dense' is the straightforward reference-shaped path.
     gammaMode: str = 'factored'
+    # Gamma/rate lambda-reduction precision under mixed precision:
+    # 'exact' multiplies and reduces the [W, Nk] integrands in
+    # accumDtype; 'blocked' keeps _GAMMA_BLOCK-row partials in the
+    # working dtype with only the inter-block sum in accumDtype (the
+    # Pallas kernel's contract, ~2x faster Gamma on TPU, dJ floor
+    # ~8e-3 vs ~4e-3).  Ignored when dtype == accumDtype.
+    gammaAccum: str = 'exact'
     # iteration scheme (TPU-form of the reference's per-SIMD plugin
     # selection, LwFormalInterface.hpp:110-136): 'mali_full_precond'
     # (XLA) or 'mali_full_precond_pallas' (fused Mosaic kernel for the
@@ -222,7 +230,29 @@ def _sum_lmd(x, wla, wmu):
                    axis=(0, 1, 2))
 
 
-def _sum_lmd_split(x, wla_adt, wmu_adt, wmu_dt, adt):
+_GAMMA_BLOCK = 32
+
+
+def _sum_lam_blocked(x, adt):
+    """Lambda reduction of ``x`` [W, Nk] with working-dtype block
+    partials (<= _GAMMA_BLOCK terms each) and the inter-block sum in
+    ``adt`` — the XLA analogue of the Pallas Gamma kernel's
+    accumulation contract (ops/pallas_gamma.py).  On TPU this removes
+    the emulated-f64 elementwise work and the f64 materialisation of
+    the [W, Nk] integrands (the dominant mixed-precision Gamma cost,
+    BREAKDOWN_r04), at the price of a slightly raised mixed-precision
+    dJ floor (~8e-3 vs ~4e-3; the dPops < 1e-3 convergence floor is
+    unaffected — see CLAUDE.md and test_gamma_accum.py)."""
+    W = x.shape[0]
+    nb = -(-W // _GAMMA_BLOCK)
+    pad = nb * _GAMMA_BLOCK - W
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+    part = jnp.sum(x.reshape(nb, _GAMMA_BLOCK, x.shape[1]), axis=1)
+    return jnp.sum(part.astype(adt), axis=0)
+
+
+def _sum_lmd_split(x, wla_adt, wmu_adt, wmu_dt, adt, blocked=False):
     """:func:`_sum_lmd` with the (mu, up/down) contraction performed in
     the dtype of ``x`` before casting to the accumulation dtype.
 
@@ -242,17 +272,30 @@ def _sum_lmd_split(x, wla_adt, wmu_adt, wmu_dt, adt):
     if x.dtype == jnp.dtype(adt):
         return _sum_lmd(x, wla_adt, wmu_adt)
     xm = jnp.sum(x * wmu_dt[None, :, None, None], axis=(1, 2))
+    if blocked:
+        return _sum_lam_blocked(xm * wla_adt.astype(x.dtype), adt)
     return jnp.sum(xm.astype(adt) * wla_adt, axis=0)
 
 
-def _uv(cfg: IterConfig, params, ai: int, ti: int, t: TransStatic):
+def _uv(cfg: IterConfig, params, ai: int, ti: int, t: TransStatic,
+        lo: Optional[int] = None, hi: Optional[int] = None):
     """Uji, Vij, Vji for one transition over its window.
     Lines: [W, Nmu, 2, Nk]; continua: [W, 1, 1, Nk].
+
+    ``lo``/``hi`` (GLOBAL wavelength indices inside the window) restrict
+    the computation to those rows, slicing phi/rho at trace time —
+    bitwise identical to slicing the full-window result.  Each distinct
+    (lo, hi) call site owns a private elementwise subgraph that XLA
+    fuses into its consumer instead of materialising the whole
+    [W, Nmu, 2, Nk] window in HBM (the round-3 gather-stage cost).
     ref: /root/reference/Source/LwTransition.hpp:93-144"""
     dt = cfg.dtype
-    lam = jnp.asarray(t.wavelength, dt)
+    if lo is None:
+        lo, hi = t.Nblue, t.Nred
+    sl = slice(lo - t.Nblue, hi - t.Nblue)
+    lam = jnp.asarray(np.asarray(t.wavelength)[sl], dt)
     if t.isLine:
-        phi = params['phi'][ai][ti]
+        phi = params['phi'][ai][ti][sl]
         hnu_4pi = Const.HC_FOURPI * (t.lambda0 / lam)
         Vij = hnu_4pi[:, None, None, None] * t.Bij * phi
         Vji = (t.Bji / t.Bij) * Vij
@@ -265,10 +308,11 @@ def _uv(cfg: IterConfig, params, ai: int, ti: int, t: TransStatic):
                     # comoving-frame rho: linear interpolation at the
                     # Doppler-shifted window position per (mu, +/-, k);
                     # coefficients ride in params so columns can carry
-                    # distinct velocity fields under vmap
+                    # distinct velocity fields under vmap.  rho stays
+                    # full-window (shifts cross rows); i0/frac slice.
                     # (ref: /root/reference/Source/LwTransition.hpp:118-126)
-                    i0 = params['hprdI0'][ai][ti]
-                    frac = params['hprdFrac'][ai][ti].astype(dt)
+                    i0 = params['hprdI0'][ai][ti][sl]
+                    frac = params['hprdFrac'][ai][ti][sl].astype(dt)
                     kIdx = jnp.arange(rho.shape[1])
                     rhoShift = ((1.0 - frac) * rho[i0, kIdx]
                                 + frac * rho[i0 + 1, kIdx])
@@ -276,14 +320,14 @@ def _uv(cfg: IterConfig, params, ai: int, ti: int, t: TransStatic):
                 else:
                     # emission profile psi = rho phi: scales Vji and Uji
                     # (ref: /root/reference/Source/LwAtom.hpp:119-123)
-                    Vji = Vji * rho[:, None, None, :]
+                    Vji = Vji * rho[sl][:, None, None, :]
         Uji = (t.Aji / t.Bji) * Vji
     else:
         nStar = params['nStar'][ai]
-        hc_kl = Const.HC_K / lam                        # [W]
+        hc_kl = Const.HC_K / lam                        # [w]
         gij = (nStar[t.i][None, :] / nStar[t.j][None, :]
                * jnp.exp(-hc_kl[:, None] / params['temperature'][None, :]))
-        alpha = jnp.asarray(t.alpha, dt)                # [W]
+        alpha = jnp.asarray(np.asarray(t.alpha)[sl], dt)   # [w]
         Vij = jnp.broadcast_to(alpha[:, None], gij.shape)[:, None, None, :]
         Vji = (gij * alpha[:, None])[:, None, None, :]
         twohc = Const.TwoHC / lam ** 3
@@ -374,6 +418,23 @@ def build_iteration_fn(cfg: IterConfig):
                 'mali_full_precond_pallas does not support this '
                 'configuration (needs 1D, factored Gamma, no hPRD, no '
                 'same-atom line-line window overlaps)')
+    useFused = (getattr(cfg, 'fsIterScheme', 'mali_full_precond')
+                == 'mali_full_precond_fused')
+    if useFused:
+        from .ops.pallas_fused import (RB as _FRB, assign_line_slots,
+                                       fused_lambda_step,
+                                       fused_scheme_supported)
+        if not fused_scheme_supported(cfg):
+            raise ValueError(
+                'mali_full_precond_fused does not support this '
+                'configuration (needs 1D, factored Gamma, no hPRD, '
+                "formalSolver='piecewise_bezier3_1d')")
+        lineSlots, nSlots = assign_line_slots(allAtoms)
+        LPadF = -(-Nlam // _FRB) * _FRB
+        NkLF = -(-Nk // 128) * 128
+        lamGridP = jnp.asarray(np.concatenate(
+            [np.asarray(cfg.wavelength),
+             np.full(LPadF - Nlam, np.asarray(cfg.wavelength)[-1])]), dt)
     # the Pallas scheme pads the wavelength axis so every BW-aligned
     # line-window block is in range; pad rows carry chi=1/eta=0 and
     # zero integration weight, and are sliced off J/I/emergent outputs
@@ -383,23 +444,31 @@ def build_iteration_fn(cfg: IterConfig):
         [np.asarray(cfg.wavelength),
          np.full(padRows, np.asarray(cfg.wavelength)[-1])]), dt)
 
+    # ---- sliced per-transition window accessors -------------------------
+    # Each call computes ONLY the requested global-lambda rows [lo, hi)
+    # from phi/rho/alpha slices.  Distinct (lo, hi) call sites own
+    # private subgraphs, so XLA fuses the cheap elementwise products into
+    # each consumer instead of materialising full [W, Nmu, 2, Nk] windows
+    # (measured: window materialisation dominated the round-3 gather
+    # stage, 1.16 ms of the 3.65 ms bench iteration, BREAKDOWN_r04).
+    def chi_eta_w(params, ai, ti, lo, hi):
+        """(chi_t, eta_t) of transition (ai, ti) on rows [lo, hi)."""
+        t = allAtoms[ai].trans[ti]
+        n = params['allPops'][ai]
+        Uji, Vij, Vji = _uv(cfg, params, ai, ti, t, lo, hi)
+        return n[t.i] * Vij - n[t.j] * Vji, n[t.j] * Uji
+
+    def chiW(params, ai, ti, lo, hi):
+        return chi_eta_w(params, ai, ti, lo, hi)[0]
+
+    def etaW(params, ai, ti, lo, hi):
+        return chi_eta_w(params, ai, ti, lo, hi)[1]
+
+    def UjiW(params, ai, ti, lo, hi):
+        t = allAtoms[ai].trans[ti]
+        return _uv(cfg, params, ai, ti, t, lo, hi)[0]
+
     def gather(params):
-        chiT, etaT, UjiT = [], [], []
-        contribs = []                 # (Nblue, Nred, chi_t, eta_t)
-        for ai, a in enumerate(allAtoms):
-            n = params['allPops'][ai]
-            chiA, etaA, UjiA = [], [], []
-            for ti, t in enumerate(a.trans):
-                Uji, Vij, Vji = _uv(cfg, params, ai, ti, t)
-                chi_t = n[t.i] * Vij - n[t.j] * Vji
-                eta_t = n[t.j] * Uji
-                contribs.append((t.Nblue, t.Nred, chi_t, eta_t))
-                chiA.append(chi_t)
-                etaA.append(eta_t)
-                UjiA.append(Uji)
-            chiT.append(chiA)
-            etaT.append(etaA)
-            UjiT.append(UjiA)
         # Assemble chiTot/etaTot by STATIC wavelength segmentation instead
         # of a per-transition dynamic-update-slice chain: between two
         # consecutive window edges the covering transition set is fixed,
@@ -407,16 +476,22 @@ def build_iteration_fn(cfg: IterConfig):
         # sum and every element of the ray tensor is written exactly once
         # by the final concatenate.  The DUS chain over ~2x Ntrans updates
         # costs a large multiple of the tensor in HBM traffic on TPU.
-        edges = sorted({0, Nlam, *(c[0] for c in contribs),
-                        *(c[1] for c in contribs)})
+        # Per-segment chi/eta contributions are recomputed from phi
+        # slices (chi_eta_w), never materialised as full windows.
+        spans = [(t.Nblue, t.Nred, ai, ti)
+                 for ai, a in enumerate(allAtoms)
+                 for ti, t in enumerate(a.trans)]
+        edges = sorted({0, Nlam, *(s[0] for s in spans),
+                        *(s[1] for s in spans)})
         segsChi, segsEta = [], []
         for s0, s1 in zip(edges[:-1], edges[1:]):
             segChi = params['bgChi'][s0:s1][:, None, None, :]
             segEta = params['bgEta'][s0:s1][:, None, None, :]
-            for (nb, nr, c, e) in contribs:
+            for (nb, nr, ai, ti) in spans:
                 if nb <= s0 and s1 <= nr:
-                    segChi = segChi + c[s0 - nb:s1 - nb]
-                    segEta = segEta + e[s0 - nb:s1 - nb]
+                    c, e = chi_eta_w(params, ai, ti, s0, s1)
+                    segChi = segChi + c
+                    segEta = segEta + e
             shape = (s1 - s0, Nmu, 2, Nk)
             segsChi.append(jnp.broadcast_to(segChi, shape))
             segsEta.append(jnp.broadcast_to(segEta, shape))
@@ -426,7 +501,132 @@ def build_iteration_fn(cfg: IterConfig):
             segsEta.append(jnp.zeros(shape, dt))
         chiTot = jnp.concatenate(segsChi, axis=0)
         etaTot = jnp.concatenate(segsEta, axis=0)
-        return chiTot, etaTot, chiT, etaT, UjiT
+        return chiTot, etaTot
+
+    def fused_stage(params, JdagW):
+        """Assemble the packed inputs and run the fused Pallas
+        lambda-iteration kernel (scheme 'mali_full_precond_fused',
+        ops/pallas_fused.py): chi/eta/S assembly + formal solve +
+        J/moment accumulation in one VMEM-resident pass.
+
+        Returns (I, Psi, IeffBase [Nlam, Nmu, 2, Nk]; Jhi, Jlo, PsiBar,
+        IBar, IeffSrcBar [Nlam, Nk]; srcRowsA: per ACTIVE atom the
+        mu-independent part of srcNum - etaAtom, i.e. bgEta + sca*Jdag
+        + other atoms' continua — the Gamma stage adds the other atoms'
+        line eta windows to form the compensated Ieff as a sum of
+        positive terms).
+        """
+        M2 = Nmu * 2
+        one = jnp.asarray(1.0, dt)
+
+        # mu-independent continuum rows, kept per atom for srcRowsA
+        contChi = jnp.zeros((Nlam, Nk), dt)
+        contEtaA = [jnp.zeros((Nlam, Nk), dt) for _ in allAtoms]
+        for ai, a in enumerate(allAtoms):
+            for ti, t in enumerate(a.trans):
+                if t.isLine:
+                    continue
+                c, e = chi_eta_w(params, ai, ti, t.Nblue, t.Nred)
+                contChi = _window_add(contChi, t.Nblue, c[:, 0, 0, :])
+                contEtaA[ai] = _window_add(contEtaA[ai], t.Nblue,
+                                           e[:, 0, 0, :])
+        contEta = contEtaA[0]
+        for e in contEtaA[1:]:
+            contEta = contEta + e
+        scaJ = params['bgSca'] * JdagW
+
+        bgChiRow = jnp.full((LPadF, NkLF), one)       # pad chi = 1
+        bgChiRow = lax.dynamic_update_slice(
+            bgChiRow, params['bgChi'] + contChi, (0, 0))
+        bgEtaRow = lax.dynamic_update_slice(
+            jnp.zeros((LPadF, NkLF), dt), params['bgEta'] + contEta,
+            (0, 0))
+        scaJRow = lax.dynamic_update_slice(
+            jnp.zeros((LPadF, NkLF), dt), scaJ, (0, 0))
+
+        # slot-packed line tensors: profiles + coefficient rows that
+        # absorb populations, a1(lambda) and (angle-averaged) PRD rho
+        phiP = jnp.zeros((nSlots, LPadF, M2, NkLF), dt)
+        chiCo = jnp.zeros((nSlots, LPadF, NkLF), dt)
+        etaCo = jnp.zeros((nSlots, LPadF, NkLF), dt)
+        for ai, a in enumerate(allAtoms):
+            n = params['allPops'][ai]
+            for ti, t in enumerate(a.trans):
+                if not t.isLine:
+                    continue
+                c = lineSlots[(ai, ti)]
+                lamW = np.asarray(t.wavelength, np.float64)
+                a1 = jnp.asarray(
+                    Const.HC_FOURPI * (t.lambda0 / lamW) * t.Bij,
+                    dt)[:, None]
+                gS, uS = t.Bji / t.Bij, t.Aji / t.Bji
+                rho = None
+                if t.isPrd and params.get('rhoPrd') is not None:
+                    r = params['rhoPrd'][ai][ti]
+                    if r is not None:
+                        rho = r.astype(dt)
+                ni, nj = n[t.i][None, :], n[t.j][None, :]
+                if rho is None:
+                    cc = (ni - gS * nj) * a1
+                    ee = (uS * gS) * a1 * nj
+                else:
+                    cc = (ni - gS * rho * nj) * a1
+                    ee = (uS * gS) * a1 * rho * nj
+                chiCo = _slab_add(chiCo, (c, t.Nblue, 0), (1, t.W, Nk),
+                                  cc[None])
+                etaCo = _slab_add(etaCo, (c, t.Nblue, 0), (1, t.W, Nk),
+                                  ee[None])
+                phiP = _slab_add(
+                    phiP, (c, t.Nblue, 0, 0), (1, t.W, M2, Nk),
+                    params['phi'][ai][ti].reshape(t.W, M2, Nk)[None])
+
+        T = params['temperature']
+        height = params['height']
+        dh = jnp.abs(height[:-1] - height[1:])
+        dsLane = jnp.pad(dh, (0, NkLF - Nk + 1),
+                         constant_values=one)[None, :]
+
+        zerosBc = jnp.zeros((LPadF, Nmu), dt)
+        zerosBnu = jnp.zeros((LPadF, 2), dt)
+        if params.get('upperBcData') is not None:
+            upperKind, bcUp, bnuUp = 'data', lax.dynamic_update_slice(
+                zerosBc, params['upperBcData'], (0, 0)), zerosBnu
+        elif cfg.upperThermalised:
+            upperKind, bcUp = 'therm', zerosBc
+            bnuUp = jnp.stack([planck_nu(T[0], lamGridP),
+                               planck_nu(T[1], lamGridP)], axis=1)
+        else:
+            upperKind, bcUp, bnuUp = 'zero', zerosBc, zerosBnu
+        if params.get('lowerBcData') is not None:
+            lowerKind, bcLo, bnuLo = 'data', lax.dynamic_update_slice(
+                zerosBc, params['lowerBcData'], (0, 0)), zerosBnu
+        elif cfg.lowerThermalised:
+            lowerKind, bcLo = 'therm', zerosBc
+            bnuLo = jnp.stack([planck_nu(T[Nk - 1], lamGridP),
+                               planck_nu(T[Nk - 2], lamGridP)], axis=1)
+        else:
+            lowerKind, bcLo, bnuLo = 'zero', zerosBc, zerosBnu
+
+        res = fused_lambda_step(
+            phiP, chiCo, etaCo, bgChiRow, bgEtaRow, scaJRow, dsLane,
+            bcUp, bcLo, bnuUp, bnuLo, N=Nk, Nmu=Nmu, muz=cfg.muz,
+            wmu=cfg.wmu, upperKind=upperKind, lowerKind=lowerKind)
+        I3, Psi3, Ieffb3 = res[0], res[1], res[2]
+        I = I3.reshape(LPadF, Nmu, 2, NkLF)[:Nlam, :, :, :Nk]
+        Psi = Psi3.reshape(LPadF, Nmu, 2, NkLF)[:Nlam, :, :, :Nk]
+        IeffBase = Ieffb3.reshape(LPadF, Nmu, 2, NkLF)[:Nlam, :, :, :Nk]
+        rows = [r[:Nlam, :Nk] for r in res[3:]]
+        Jhi, Jlo, PsiBar32, IBar32, IeffSrcBar32 = rows
+
+        srcRowsA = []
+        for ai in range(len(cfg.activeAtoms)):
+            srcA = params['bgEta'] + scaJ
+            for aj in range(len(allAtoms)):
+                if aj != ai:
+                    srcA = srcA + contEtaA[aj]
+            srcRowsA.append(srcA)
+        return (I, Psi, IeffBase, Jhi, Jlo, PsiBar32, IBar32,
+                IeffSrcBar32, srcRowsA)
 
     def formal_solve_2d(params, chiTot, S):
         """2D plane-sweep formal solution per (mu, direction), flattened
@@ -581,8 +781,10 @@ def build_iteration_fn(cfg: IterConfig):
                               Ieffb_u.reshape(NL, Nmu, Nk)], axis=2)
         return I, Psi, IeffBase
 
-    def level_sum_on_window(arrs, a: AtomStatic, t: TransStatic, items,
-                            signed):
+    def level_sum_on_window(params, fn, ai, a: AtomStatic, t: TransStatic,
+                            items, signed):
+        """Level-list sum over t's window, members recomputed on the
+        overlap rows via ``fn`` (chiW/etaW/UjiW)."""
         out = jnp.zeros((t.W, Nmu, 2, Nk), dt)
         for item in items:
             if signed:
@@ -590,11 +792,11 @@ def build_iteration_fn(cfg: IterConfig):
             else:
                 t2i, sign = item, 1
             t2 = a.trans[t2i]
-            sls = _overlap_slices(t, t2)
-            if sls is None:
+            lo, hi = max(t.Nblue, t2.Nblue), min(t.Nred, t2.Nred)
+            if hi <= lo:
                 continue
-            dstSl, srcSl = sls
-            out = _window_add(out, dstSl.start, sign * arrs[t2i][srcSl])
+            out = _window_add(out, lo - t.Nblue,
+                              sign * fn(params, ai, t2i, lo, hi))
         return out
 
     def iteration(params, lambdaIterate=False, storeDepthData=False):
@@ -605,29 +807,47 @@ def build_iteration_fn(cfg: IterConfig):
         Jdag = params['J'].astype(cfg.accumDtype)
         JdagW = params['J'].astype(cfg.dtype)
 
-        chiTot, etaTot, chiT, etaT, UjiT = gather(params)
-        scaJ = params['bgSca'] * JdagW
-        if padRows:
-            scaJ = jnp.pad(scaJ, ((0, padRows), (0, 0)))
-        srcNum = etaTot + scaJ[:, None, None, :]
-        S = srcNum / chiTot
-        if cfg.Ndim == 2:
-            I, Psi, IeffBase = formal_solve_2d(params, chiTot, S)
+        if useFused:
+            # fused Pallas lambda step: assembly + FS + J/moments in one
+            # pass (ops/pallas_fused.py); the TwoSum (Jhi, Jlo) pair
+            # carries ~2^-48 relative precision, preserving the f64-J
+            # convergence contract without the f64-emulated elementwise
+            # cast of I (see the accumDtype note on the XLA branch).
+            (I, Psi, IeffBase, Jhi, Jlo, PsiBar32, IBar32,
+             IeffSrcBar32, srcRowsA) = fused_stage(params, JdagW)
+            if lambdaIterate:
+                Psi = jnp.zeros_like(Psi)
+                IeffBase = I
+                PsiBar32 = jnp.zeros_like(PsiBar32)
+                IeffSrcBar32 = IBar32
+            chiTot = etaTot = srcNum = S = None
+            Jnew = (Jhi.astype(cfg.accumDtype)
+                    + Jlo.astype(cfg.accumDtype))
         else:
-            I, Psi, IeffBase = formal_solve(params, chiTot, S)
-        if lambdaIterate:
-            Psi = jnp.zeros_like(Psi)
-            IeffBase = I
+            chiTot, etaTot = gather(params)
+            scaJ = params['bgSca'] * JdagW
+            if padRows:
+                scaJ = jnp.pad(scaJ, ((0, padRows), (0, 0)))
+            srcNum = etaTot + scaJ[:, None, None, :]
+            S = srcNum / chiTot
+            if cfg.Ndim == 2:
+                I, Psi, IeffBase = formal_solve_2d(params, chiTot, S)
+            else:
+                I, Psi, IeffBase = formal_solve(params, chiTot, S)
+            if lambdaIterate:
+                Psi = jnp.zeros_like(Psi)
+                IeffBase = I
 
-        # J's angular sum MUST run in accumDtype: the scattering feedback
-        # (sca*Jdag through the formal solution) amplifies J noise by
-        # ~1/(1-c) ~ 1e3-1e4 in the Rayleigh/Thomson-dominated deep UV, so
-        # a working-dtype (f32) reduction floors dJ at ~1e-2 on FAL-C
-        # 5-ray problems (measured round 3; the 40-pt 3-ray
-        # test_mixed_precision case converges either way and does NOT
-        # catch this).  Do not "optimise" this cast away.
-        Jnew = _sum_mu(I[:Nlam].astype(cfg.accumDtype),
-                       0.5 * wmu.astype(cfg.accumDtype))
+            # J's angular sum MUST run in accumDtype: the scattering
+            # feedback (sca*Jdag through the formal solution) amplifies
+            # J noise by ~1/(1-c) ~ 1e3-1e4 in the Rayleigh/Thomson-
+            # dominated deep UV, so a working-dtype (f32) reduction
+            # floors dJ at ~1e-2 on FAL-C 5-ray problems (measured
+            # round 3; the 40-pt 3-ray test_mixed_precision case
+            # converges either way and does NOT catch this).  Do not
+            # "optimise" this cast away.
+            Jnew = _sum_mu(I[:Nlam].astype(cfg.accumDtype),
+                           0.5 * wmu.astype(cfg.accumDtype))
         if cfg.accelerateScattering:
             Jnew = _accelerate_scattering(
                 Jnew, Jdag, Psi[:Nlam], params['bgSca'],
@@ -661,7 +881,23 @@ def build_iteration_fn(cfg: IterConfig):
         wmu2w = (0.5 * wmu).astype(dt)
         oneBar = jnp.sum(wmu2) * 2.0
         factored = getattr(cfg, 'gammaMode', 'factored') == 'factored'
-        if factored:
+        blockedAcc = (getattr(cfg, 'gammaAccum', 'exact') == 'blocked'
+                      and jnp.dtype(dt) != jnp.dtype(adt))
+        # contraction element dtype for the [W, Nk] lambda integrands
+        cdt = dt if blockedAcc else adt
+
+        def lam_sum(x):
+            """Reduce a [W, Nk] integrand (in cdt) over lambda."""
+            if blockedAcc:
+                return _sum_lam_blocked(x, adt)
+            return jnp.sum(x, axis=0)
+        if factored and useFused:
+            # the fused kernel accumulated these moments in-kernel at
+            # the same working-dtype-then-cast contract as the XLA path
+            PsiBar = PsiBar32.astype(adt)
+            IBar = IBar32.astype(adt)
+            IeffBaseSrcBar = IeffSrcBar32.astype(adt)
+        elif factored:
             # angular moments shared by all mu-independent (continuum)
             # contractions: avoids broadcasting [W,1,1,Nk] continuum
             # quantities onto the full ray tensor (the dominant HBM
@@ -682,7 +918,27 @@ def build_iteration_fn(cfg: IterConfig):
                 if h2 <= l2:
                     continue
                 out = _window_add(
-                    out, l2 - lo, etaT[ai][t2i][l2 - t2.Nblue:h2 - t2.Nblue])
+                    out, l2 - lo, etaW(params, ai, t2i, l2, h2))
+            return out
+
+        def eta_lines_other_on_window(ai, lo, hi):
+            """Sum of OTHER atoms' line eta on [lo, hi): with the
+            fused scheme's per-atom srcRowsA (bg + sca*J + other
+            continua) this completes srcNum - etaAtom as a sum of
+            positive terms — the compensated Ieff without forming the
+            cancelling difference."""
+            out = jnp.zeros((hi - lo, Nmu, 2, Nk), dt)
+            for aj, a2 in enumerate(allAtoms):
+                if aj == ai:
+                    continue
+                for tj, t2 in enumerate(a2.trans):
+                    if not t2.isLine:
+                        continue
+                    l2, h2 = max(lo, t2.Nblue), min(hi, t2.Nred)
+                    if h2 <= l2:
+                        continue
+                    out = _window_add(out, l2 - lo,
+                                      etaW(params, aj, tj, l2, h2))
             return out
 
         pallasLine = {}
@@ -711,8 +967,9 @@ def build_iteration_fn(cfg: IterConfig):
                 for t2i, t2 in enumerate(a.trans):
                     if t2.isLine:
                         continue
-                    etaC = _window_add(etaC, t2.Nblue,
-                                       etaT[ai][t2i][:, 0, 0, :])
+                    etaC = _window_add(
+                        etaC, t2.Nblue,
+                        etaW(params, ai, t2i, t2.Nblue, t2.Nred)[:, 0, 0, :])
                 for lvl in range(Nlev):
                     for (t2i, sign) in a.chiLists[lvl]:
                         t2 = a.trans[t2i]
@@ -720,14 +977,16 @@ def build_iteration_fn(cfg: IterConfig):
                             continue
                         chiCL = _slab_add(
                             chiCL, (lvl, t2.Nblue, 0), (1, t2.W, Nk),
-                            sign * chiT[ai][t2i][None, :, 0, 0, :])
+                            sign * chiW(params, ai, t2i, t2.Nblue,
+                                        t2.Nred)[None, :, 0, 0, :])
                     for t2i in a.ULists[lvl]:
                         t2 = a.trans[t2i]
                         if t2.isLine:
                             continue
                         UCL = _slab_add(
                             UCL, (lvl, t2.Nblue, 0), (1, t2.W, Nk),
-                            UjiT[ai][t2i][None, :, 0, 0, :])
+                            UjiW(params, ai, t2i, t2.Nblue,
+                                 t2.Nred)[None, :, 0, 0, :])
                 nW = params['allPops'][ai]
                 for group in line_groups(a):
                     ts = [a.trans[ti] for ti in group]
@@ -810,7 +1069,9 @@ def build_iteration_fn(cfg: IterConfig):
             if not factored:
                 etaAtom = jnp.zeros((Nlam, Nmu, 2, Nk), dt)
                 for ti, t in enumerate(a.trans):
-                    etaAtom = _window_add(etaAtom, t.Nblue, etaT[ai][ti])
+                    etaAtom = _window_add(etaAtom, t.Nblue,
+                                          etaW(params, ai, ti,
+                                               t.Nblue, t.Nred))
                 # compensated MALI effective intensity: algebraically
                 # equal to I - Psi*etaAtom, but assembled from
                 # non-cancelling terms so the optically-thick regime
@@ -830,18 +1091,21 @@ def build_iteration_fn(cfg: IterConfig):
                         contrib = pline['etaPsiBar'][lo:lo + t.W] \
                             .astype(adt)
                     elif t.isLine:
-                        contrib = _sum_mu(etaT[ai][ti] * Psi[sl],
+                        contrib = _sum_mu(etaW(params, ai, ti,
+                                               t.Nblue, t.Nred) * Psi[sl],
                                           wmu2w).astype(adt)
                     else:
-                        contrib = (etaT[ai][ti][:, 0, 0, :].astype(adt)
+                        contrib = (etaW(params, ai, ti, t.Nblue,
+                                        t.Nred)[:, 0, 0, :].astype(adt)
                                    * PsiBar[sl])
                     PsiEtaBar = _window_add(PsiEtaBar, t.Nblue, contrib)
                 IeffBarA = IeffBaseSrcBar - PsiEtaBar
 
-                def cont_part_on(t, arrs, items, signed, lo, hi):
+                def cont_part_on(fn, items, signed, lo, hi):
                     """[hi-lo, Nk] sum of mu-independent (continuum)
-                    members of a level list restricted to [lo, hi)."""
-                    out = jnp.zeros((hi - lo, Nk), adt)
+                    members of a level list restricted to [lo, hi),
+                    recomputed on the overlap rows via ``fn``."""
+                    out = jnp.zeros((hi - lo, Nk), cdt)
                     for item in items:
                         t2i, sign = item if signed else (item, 1)
                         t2 = a.trans[t2i]
@@ -853,17 +1117,19 @@ def build_iteration_fn(cfg: IterConfig):
                             continue
                         out = _window_add(
                             out, l2 - lo,
-                            sign * arrs[t2i][l2 - t2.Nblue:h2 - t2.Nblue,
-                                             0, 0, :].astype(adt))
+                            sign * fn(params, ai, t2i, l2,
+                                      h2)[:, 0, 0, :].astype(cdt))
                     return out
 
                 def cross_bar(t, listX, listU, wlaA):
                     """[Nk] = sum over t's window of
                     wla * wmu2 * Psi * chiLevel * ULevel."""
                     lo, hi = t.Nblue, t.Nred
-                    XC = cont_part_on(t, chiT[ai], listX, True, lo, hi)
-                    UC = cont_part_on(t, UjiT[ai], listU, False, lo, hi)
-                    total = jnp.sum(XC * UC * wlaA * PsiBar[lo:hi], axis=0)
+                    wlaC = wlaA.astype(cdt)
+                    XC = cont_part_on(chiW, listX, True, lo, hi)
+                    UC = cont_part_on(UjiW, listU, False, lo, hi)
+                    total = lam_sum(XC * UC * wlaC
+                                    * PsiBar[lo:hi].astype(cdt))
                     # line(chi) x continuum(U) and line x line terms
                     for item in listX:
                         t2i, sign = item
@@ -885,12 +1151,12 @@ def build_iteration_fn(cfg: IterConfig):
                                 * UC[l2 - lo:h2 - lo]
                                 * wlaA[l2 - lo:h2 - lo], axis=0)
                         else:
-                            chiSub = chiT[ai][t2i][l2 - t2.Nblue:
-                                                   h2 - t2.Nblue]
+                            chiSub = chiW(params, ai, t2i, l2, h2)
                             total = total + sign * _sum_lmd_split(
                                 chiSub * Psi[l2:h2],
                                 UC[l2 - lo:h2 - lo] * wlaA[l2 - lo:h2 - lo],
-                                wmu2, wmu2w, adt)
+                                wmu2, wmu2w, adt,
+                                blocked=blockedAcc)
                         for t3i in listU:
                             t3 = a.trans[t3i]
                             if not t3.isLine:
@@ -912,10 +1178,11 @@ def build_iteration_fn(cfg: IterConfig):
                                     * wlaA[l3 - lo:h3 - lo], axis=0)
                                 continue
                             total = total + sign * _sum_lmd_split(
-                                chiT[ai][t2i][l3 - t2.Nblue:h3 - t2.Nblue]
-                                * UjiT[ai][t3i][l3 - t3.Nblue:h3 - t3.Nblue]
+                                chiW(params, ai, t2i, l3, h3)
+                                * UjiW(params, ai, t3i, l3, h3)
                                 * Psi[l3:h3],
-                                wlaA[l3 - lo:h3 - lo], wmu2, wmu2w, adt)
+                                wlaA[l3 - lo:h3 - lo], wmu2, wmu2w, adt,
+                                blocked=blockedAcc)
                     # continuum(chi) x line(U) terms
                     for t3i in listU:
                         t3 = a.trans[t3i]
@@ -933,11 +1200,12 @@ def build_iteration_fn(cfg: IterConfig):
                                 * XC[l3 - lo:h3 - lo]
                                 * wlaA[l3 - lo:h3 - lo], axis=0)
                             continue
-                        USub = UjiT[ai][t3i][l3 - t3.Nblue:h3 - t3.Nblue]
+                        USub = UjiW(params, ai, t3i, l3, h3)
                         total = total + _sum_lmd_split(
                             USub * Psi[l3:h3],
                             XC[l3 - lo:h3 - lo] * wlaA[l3 - lo:h3 - lo],
-                            wmu2, wmu2w, adt)
+                            wmu2, wmu2w, adt,
+                                blocked=blockedAcc)
                     return total
 
             Rij, Rji = [], []
@@ -958,27 +1226,34 @@ def build_iteration_fn(cfg: IterConfig):
 
                 if factored and not t.isLine:
                     # mu-independent transition: contract against the
-                    # angular moments only
-                    UjiC = Uji[:, 0, 0, :].astype(adt)
-                    VijC = Vij[:, 0, 0, :].astype(adt)
-                    VjiC = Vji[:, 0, 0, :].astype(adt)
-                    Ieff_b = IeffBarA[sl]
-                    Gij = (jnp.sum((UjiC * oneBar + VjiC * Ieff_b) * wlaA,
-                                   axis=0)
+                    # angular moments only (integrands in cdt, reduced
+                    # by lam_sum -- exact adt or blocked partials)
+                    UjiC = Uji[:, 0, 0, :].astype(cdt)
+                    VijC = Vij[:, 0, 0, :].astype(cdt)
+                    VjiC = Vji[:, 0, 0, :].astype(cdt)
+                    wlaB = wlaA.astype(cdt)
+                    oneBarC = oneBar.astype(cdt)
+                    Ieff_b = IeffBarA[sl].astype(cdt)
+                    Gij = (lam_sum((UjiC * oneBarC + VjiC * Ieff_b) * wlaB)
                            - cross_bar(t, a.chiLists[t.i],
                                        a.ULists[t.j], wlaA))
-                    Gji = (jnp.sum(VijC * Ieff_b * wlaA, axis=0)
+                    Gji = (lam_sum(VijC * Ieff_b * wlaB)
                            - cross_bar(t, a.chiLists[t.j],
                                        a.ULists[t.i], wlaA))
                     Gamma = Gamma.at[t.i, t.j].add(Gij)
                     Gamma = Gamma.at[t.j, t.i].add(Gji)
-                    IBar_w = IBar[sl]
-                    Rij.append(jnp.sum(VijC * IBar_w * wlaA, axis=0))
-                    Rji.append(jnp.sum((UjiC * oneBar + VjiC * IBar_w)
-                                       * wlaA, axis=0))
+                    IBar_w = IBar[sl].astype(cdt)
+                    Rij.append(lam_sum(VijC * IBar_w * wlaB))
+                    Rji.append(lam_sum((UjiC * oneBarC + VjiC * IBar_w)
+                                       * wlaB))
                     continue
 
-                if factored:
+                if factored and useFused:
+                    srcO = (srcRowsA[ai][sl][:, None, None, :]
+                            + eta_lines_other_on_window(ai, t.Nblue,
+                                                        t.Nred))
+                    Ieff_w = IeffBase[sl] + Psi[sl] * srcO
+                elif factored:
                     etaA_w = eta_atom_on_window(ai, a, t.Nblue, t.Nred)
                     Ieff_w = (IeffBase[sl]
                               + Psi[sl] * (srcNum[sl] - etaA_w))
@@ -986,24 +1261,26 @@ def build_iteration_fn(cfg: IterConfig):
                     Ieff_w = Ieff[sl]
                 Psi_w = Psi[sl]
                 I_w = I[sl]
-                chi_i = level_sum_on_window(chiT[ai], a, t,
+                chi_i = level_sum_on_window(params, chiW, ai, a, t,
                                             a.chiLists[t.i], True)
-                chi_j = level_sum_on_window(chiT[ai], a, t,
+                chi_j = level_sum_on_window(params, chiW, ai, a, t,
                                             a.chiLists[t.j], True)
-                U_i = level_sum_on_window(UjiT[ai], a, t,
+                U_i = level_sum_on_window(params, UjiW, ai, a, t,
                                           a.ULists[t.i], False)
-                U_j = level_sum_on_window(UjiT[ai], a, t,
+                U_j = level_sum_on_window(params, UjiW, ai, a, t,
                                           a.ULists[t.j], False)
                 integ_ij = (Uji + Vji * Ieff_w) - Psi_w * chi_i * U_j
                 integ_ji = (Vij * Ieff_w) - Psi_w * chi_j * U_i
-                Gij = _sum_lmd_split(integ_ij, wlaA, wmu2, wmu2w, adt)
-                Gji = _sum_lmd_split(integ_ji, wlaA, wmu2, wmu2w, adt)
+                Gij = _sum_lmd_split(integ_ij, wlaA, wmu2, wmu2w, adt,
+                                blocked=blockedAcc)
+                Gji = _sum_lmd_split(integ_ji, wlaA, wmu2, wmu2w, adt,
+                                blocked=blockedAcc)
                 Gamma = Gamma.at[t.i, t.j].add(Gij)
                 Gamma = Gamma.at[t.j, t.i].add(Gji)
                 Rij.append(_sum_lmd_split(I_w * Vij, wlaA, wmu2, wmu2w,
-                                          adt))
+                                          adt, blocked=blockedAcc))
                 Rji.append(_sum_lmd_split(Uji + I_w * Vji, wlaA, wmu2,
-                                          wmu2w, adt))
+                                          wmu2w, adt, blocked=blockedAcc))
 
             # finalise: diagonal = -column sums of off-diagonals
             eye = jnp.eye(a.Nlevel, dtype=adt)[:, :, None]
@@ -1025,6 +1302,10 @@ def build_iteration_fn(cfg: IterConfig):
         if storeDepthData:
             # full-resolution capture of chi/eta/I per (lambda, mu, +/-, k)
             # (ref DepthData: /root/reference/Source/LwContext.hpp:12-18)
+            if useFused:
+                # the fused kernel never materialises chi/eta; rebuild
+                # them densely for the (debug-only) capture
+                chiTot, etaTot = gather(params)
             out['depthChi'] = chiTot[:Nlam]
             out['depthEta'] = etaTot[:Nlam]
             out['depthI'] = I[:Nlam]
@@ -1033,6 +1314,7 @@ def build_iteration_fn(cfg: IterConfig):
     # expose the stage closures for component-level benchmarking/tests
     iteration.gather = gather
     iteration.formal_solve = formal_solve
+    iteration.fused_stage = fused_stage
     return iteration
 
 
@@ -1242,7 +1524,8 @@ class Context:
                  dtype=None, accumDtype=None,
                  accelerateScattering: bool = False,
                  mesh=None, meshXAxis: str = 'x',
-                 fsIterScheme: Optional[str] = None):
+                 fsIterScheme: Optional[str] = None,
+                 gammaAccum: Optional[str] = None):
         self.atmos = atmos
         self.spect = spect
         self.eqPops = eqPops
@@ -1265,6 +1548,13 @@ class Context:
                 "'piecewise_bezier3_1d' formal solver")
         if dtype is None and _cfgParams.get('Precision') == 'mixed':
             dtype = jnp.float32
+        if (recurrenceMode == 'pallas' and jax.default_backend() == 'tpu'
+                and (dtype is None or dtype == jnp.float64)):
+            # Mosaic has no 64-bit vectors; compiled kernels are
+            # f32-working-dtype only (interpret mode covers f64 off-TPU)
+            raise ValueError(
+                "recurrenceMode='pallas' requires dtype=float32 on the "
+                "TPU backend (Mosaic has no f64 vectors)")
         if dtype is None:
             dtype = (jnp.float64 if jax.config.read('jax_enable_x64')
                      else jnp.float32)
@@ -1295,7 +1585,9 @@ class Context:
             dtype=dtype, wavelength=np.asarray(spect.wavelength),
             muz=np.asarray(atmos.muz), wmu=np.asarray(atmos.wmu),
             accumDtype=accumDtype,
-            accelerateScattering=accelerateScattering)
+            accelerateScattering=accelerateScattering,
+            gammaAccum=gammaAccum if gammaAccum is not None else
+            _cfgParams.get('GammaAccum', 'exact'))
 
         if atmos.Ndim == 2:
             from .ops.formal_solver2d import build_geometry_2d
@@ -2807,15 +3099,26 @@ class Context:
 
     def set_fs_iter_scheme(self, name: str):
         """Iteration-scheme selection (TPU-form of the reference's
-        per-SIMD plugin registry, LwMiddleLayer.pyx:3077-3098).  Two
-        schemes exist: 'mali_full_precond' (XLA, the general path) and
+        per-SIMD plugin registry, LwMiddleLayer.pyx:3077-3098).  Three
+        schemes exist: 'mali_full_precond' (XLA, the general path),
+        'mali_full_precond_fused' (fused Mosaic lambda-step kernel —
+        assembly + formal solve + J/moments in one pass; 1D, factored
+        Gamma, no hPRD, Bezier-3 solver; see ops/pallas_fused.py) and
         'mali_full_precond_pallas' (fused Mosaic Gamma/rate kernel —
         1D, factored Gamma, no hPRD, no same-atom line-line window
         overlaps; see ops/pallas_gamma.py).  Reference per-SIMD suffixes
         (_scalar/_SSE2/_AVX*) alias the XLA scheme."""
         base = name.partition('_scalar')[0].partition('_SSE2')[0] \
                    .partition('_AVX')[0]
-        if base == 'mali_full_precond_pallas':
+        if base == 'mali_full_precond_fused':
+            from .ops.pallas_fused import fused_scheme_supported
+            if not fused_scheme_supported(self.cfg):
+                raise ValueError(
+                    'mali_full_precond_fused does not support this '
+                    'configuration (needs 1D, factored Gamma, no hPRD, '
+                    "formalSolver='piecewise_bezier3_1d')")
+            self._swap_cfg(fsIterScheme='mali_full_precond_fused')
+        elif base == 'mali_full_precond_pallas':
             from .ops.pallas_gamma import pallas_scheme_supported
             if not pallas_scheme_supported(self.cfg):
                 raise ValueError(
@@ -2828,6 +3131,7 @@ class Context:
         else:
             raise ValueError(f'Unknown iteration scheme {name!r}; '
                              "available: 'mali_full_precond', "
+                             "'mali_full_precond_fused', "
                              "'mali_full_precond_pallas'")
 
     def get_fs_iter_scheme_properties(self, fsIterScheme=None) -> dict:

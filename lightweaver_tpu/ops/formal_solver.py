@@ -34,17 +34,21 @@ def w2(dtau):
 
     ref: /root/reference/Source/LwInternal.hpp:90-110
     """
+    # scalar bounds in the input dtype: Python floats passed to
+    # jnp.clip/jnp.where bind as f64 constants under x64, and Mosaic
+    # cannot lower the resulting scalar f64->f32 trunc inside kernels
+    one = jnp.asarray(1.0, dtau.dtype)
     third = 1.0 / 3.0
     small = dtau < 5.0e-4
     big = dtau > 50.0
-    dtau_safe = jnp.clip(dtau, 0.0, 50.0)
+    dtau_safe = jnp.clip(dtau, jnp.zeros_like(one), 50.0 * one)
     expdt = jnp.exp(-dtau_safe)
     w0_mid = 1.0 - expdt
     w1_mid = w0_mid - dtau_safe * expdt
     w0_small = dtau * (1.0 - 0.5 * dtau)
     w1_small = dtau * dtau * (0.5 - dtau * third)
-    w0 = jnp.where(small, w0_small, jnp.where(big, 1.0, w0_mid))
-    w1 = jnp.where(small, w1_small, jnp.where(big, 1.0, w1_mid))
+    w0 = jnp.where(small, w0_small, jnp.where(big, one, w0_mid))
+    w1 = jnp.where(small, w1_small, jnp.where(big, one, w1_mid))
     return w0, w1
 
 
@@ -75,7 +79,9 @@ def bezier3_coeffs(dt):
     # Guard divisions/exp in unselected branches: the mid branch needs dt
     # clipped into [5e-2, 30]; the asymptotic branch must use the TRUE dt
     # (only guarded against division by zero from below).
-    dt_m = jnp.clip(dt, 5e-2, 30.0)
+    # dtype-matched clip bounds (see w2: Mosaic scalar f64 trunc)
+    one = jnp.asarray(1.0, dt.dtype)
+    dt_m = jnp.clip(dt, 5e-2 * one, 30.0 * one)
     dt2_m = dt_m * dt_m
     dt3_m = dt2_m * dt_m
     edt_m = jnp.exp(-dt_m)

@@ -297,4 +297,8 @@ def pallas_scheme_supported(cfg) -> bool:
         return False
     if getattr(cfg, 'gammaMode', 'factored') != 'factored':
         return False
+    # Mosaic has no 64-bit vectors: f32 working dtype only on the chip
+    if (not _interpret_mode()
+            and jnp.dtype(cfg.dtype) == jnp.dtype(jnp.float64)):
+        return False
     return True

@@ -1,0 +1,104 @@
+"""The honest benchmark set (round-4 verdict ask #3), committed as
+BENCH_HONEST_r04.json:
+
+  A. bench.py-problem ms/iter (FALC-500, H6+CaII, 5 rays, 50 iters) for
+     full f64, mixed (f32 state + f64 accum, the headline config), and
+     mixed with gammaAccum='blocked';
+  B. wall time to CONVERGED FAL-C populations on the canonical problem
+     (FAL-C 82-pt, H6+CaII, 5 rays, iterate_ctx_se defaults: Nscatter=3,
+     JTol=5e-3, popsTol=1e-3 — BASELINE.md) for f64 and mixed, with
+     iteration counts, plus the mixed/blocked convergence caveat stated
+     machine-readably.
+
+Run on the real TPU:  nohup python scripts/honest_bench.py > log &
+"""
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+import jax
+
+jax.config.update('jax_enable_x64', True)
+import jax.numpy as jnp
+
+
+def log(**kw):
+    print(json.dumps(kw), flush=True)
+
+
+def bench_ms(dtype, gammaAccum='exact', nIter=50):
+    from bench import build_ctx, time_iterations
+    ctx = build_ctx(dtype=dtype)
+    if gammaAccum != 'exact':
+        ctx._swap_cfg(gammaAccum=gammaAccum)
+    wall = time_iterations(ctx, nIter=nIter)
+    return wall / nIter * 1e3
+
+
+def converge_falc(dtype):
+    import lightweaver_tpu as lw
+    from lightweaver_tpu.rh_atoms import CaII_atom, H_6_atom
+    atmos = lw.Falc82()
+    atmos.quadrature(5)
+    rs = lw.RadiativeSet([H_6_atom(), CaII_atom()])
+    rs.set_active('H', 'Ca')
+    spect = rs.compute_wavelength_grid()
+    eqPops = rs.compute_eq_pops(atmos)
+    ctx = lw.Context(atmos, spect, eqPops, dtype=dtype)
+    # warm the compile so the wall time measures iteration, not XLA
+    ctx.formal_sol_gamma_matrices()
+    ctx2 = lw.Context(atmos, spect, rs.compute_eq_pops(atmos), dtype=dtype)
+    t0 = time.perf_counter()
+    nIter = lw.iterate_ctx_se(ctx2, quiet=True)
+    wall = time.perf_counter() - t0
+    return wall, int(nIter)
+
+
+def main():
+    dev = jax.devices()[0]
+    out = {'device': str(dev),
+           'problemA': 'FALC-500 H6+CaII 5 rays Nlam=1046, 50 iters',
+           'problemB': 'FAL-C 82-pt H6+CaII 5 rays, iterate_ctx_se '
+                       'defaults (JTol=5e-3, popsTol=1e-3, Nscatter=3)',
+           'convergence_caveats': {
+               'mixed': 'f32 state + f64 Gamma/rate accumulation + '
+                        'compensated Ieff: converges BASELINE configs '
+                        '1-2 to popsTol 1e-3 (dJ floor ~4e-3); stiff '
+                        'deep-UV H-active problems at few-ray '
+                        'quadratures can stall near dJ ~1e-2 '
+                        '(test_mixed_precision.py); f64 is the default '
+                        'and converges everything the reference does',
+               'mixed_blockedGamma': 'gammaAccum=blocked raises the dJ '
+                                     'floor to ~8e-3 (dPops < 1e-3 '
+                                     'intact, test_gamma_accum.py); '
+                                     'opt-in performance mode',
+           }}
+    for tag, dtype, acc in (('f64', None, 'exact'),
+                            ('mixed', jnp.float32, 'exact'),
+                            ('mixed_blockedGamma', jnp.float32, 'blocked')):
+        try:
+            ms = bench_ms(dtype, acc)
+            out.setdefault('ms_per_iter', {})[tag] = round(ms, 3)
+            log(stage='A', tag=tag, ms_per_iter=round(ms, 3))
+        except Exception as e:
+            log(stage='A', tag=tag, error=repr(e)[:300])
+    for tag, dtype in (('f64', None), ('mixed', jnp.float32)):
+        try:
+            wall, iters = converge_falc(dtype)
+            out.setdefault('falc_converged', {})[tag] = {
+                'wall_s': round(wall, 2), 'iterations': iters}
+            log(stage='B', tag=tag, wall_s=round(wall, 2), iters=iters)
+        except Exception as e:
+            log(stage='B', tag=tag, error=repr(e)[:300])
+    p = Path(__file__).parent.parent / 'BENCH_HONEST_r04.json'
+    p.write_text(json.dumps(out, indent=1))
+    log(wrote=str(p))
+
+
+if __name__ == '__main__':
+    main()

@@ -59,6 +59,12 @@ def max_scaled_err(a, b):
 
 
 def identity_check(dtype):
+    """Compare the f32 XLA and f32 Pallas-sweep iterations EACH against
+    the f64 XLA iteration on the same state: two f32 implementations
+    with different operation orderings legitimately differ from each
+    other at the f32 noise floor of this computation (dJ floor ~4e-3,
+    CLAUDE.md); the meaningful assertion is that the Pallas sweep is no
+    further from f64 truth than the XLA f32 path."""
     import dataclasses
 
     from lightweaver_tpu.context import build_iteration_fn
@@ -71,40 +77,52 @@ def identity_check(dtype):
     log(stage='identity:warmed', s=round(time.perf_counter() - t0, 1))
     params = dict(ctx._params)
     outs = {}
-    for mode in ('parallel', 'pallas'):
-        cfg = dataclasses.replace(ctx.cfg, recurrenceMode=mode)
+    for tag, mode, dt in (('xla32', 'parallel', None),
+                          ('pallas32', 'pallas', None),
+                          ('xla64', 'parallel', jnp.float64)):
+        cfg = dataclasses.replace(ctx.cfg, recurrenceMode=mode,
+                                  **({} if dt is None else {'dtype': dt}))
         t0 = time.perf_counter()
         it = jax.jit(build_iteration_fn(cfg))
         res = it(params)
         jax.block_until_ready(res['J'])
-        outs[mode] = res
-        log(stage=f'identity:{mode}:done',
+        outs[tag] = res
+        log(stage=f'identity:{tag}:done',
             compile_and_run_s=round(time.perf_counter() - t0, 1))
-    x, p = outs['parallel'], outs['pallas']
-    errs = {
-        'J': max_scaled_err(p['J'], x['J']),
-        'I': max_scaled_err(p['I'], x['I']),
-        'Gamma': max(max_scaled_err(p['Gamma'][ai], x['Gamma'][ai])
-                     for ai in range(len(x['Gamma']))),
-    }
-    log(stage='identity:errs', errs=errs, backend=jax.default_backend())
-    return errs
+    ref = outs['xla64']
+
+    def errs_vs_ref(r):
+        return {
+            'J': max_scaled_err(r['J'], ref['J']),
+            'I': max_scaled_err(r['I'], ref['I']),
+            'Gamma': max(max_scaled_err(r['Gamma'][ai], ref['Gamma'][ai])
+                         for ai in range(len(ref['Gamma']))),
+        }
+    eX = errs_vs_ref(outs['xla32'])
+    eP = errs_vs_ref(outs['pallas32'])
+    log(stage='identity:errs', xla32_vs_f64=eX, pallas32_vs_f64=eP,
+        backend=jax.default_backend())
+    # ok: pallas no worse than ~3x the XLA-f32 error on every output
+    return {k: eP[k] / max(eX[k], 1e-300) for k in eP}
 
 
 def bench_race(nIter=50):
     from bench import build_ctx, time_iterations
     results = {}
     cases = [
-        ('parallel', None),
-        ('pallas', None),
-        ('pallas', 'mali_full_precond_pallas'),
+        ('parallel', None, 'exact'),
+        ('pallas', None, 'exact'),
+        ('parallel', None, 'blocked'),
+        ('pallas', None, 'blocked'),
+        ('pallas', 'mali_full_precond_pallas', 'exact'),
     ]
-    for mode, scheme in cases:
-        tag = mode + ('' if scheme is None else '+pallasGamma')
+    for mode, scheme, acc in cases:
+        tag = (mode + ('' if scheme is None else '+pallasGamma')
+               + ('' if acc == 'exact' else '+blockedAccum'))
         try:
             ctx = build_ctx(dtype=jnp.float32)
-            if mode != 'parallel':
-                ctx._swap_cfg(recurrenceMode=mode)
+            if mode != 'parallel' or acc != 'exact':
+                ctx._swap_cfg(recurrenceMode=mode, gammaAccum=acc)
             if scheme is not None:
                 ctx.set_fs_iter_scheme(scheme)
             log(stage='bench:start', case=tag)
@@ -122,9 +140,9 @@ def bench_race(nIter=50):
 def main():
     log(device=str(jax.devices()[0]), backend=jax.default_backend())
     try:
-        errs = identity_check(jnp.float32)
-        ok = all(v < 5e-5 for v in errs.values())
-        log(stage='identity:verdict', ok=ok)
+        ratios = identity_check(jnp.float32)
+        ok = all(v < 3.0 for v in ratios.values())
+        log(stage='identity:verdict', ok=ok, pallas_over_xla32=ratios)
     except Exception as e:
         log(stage='identity:verdict', ok=False, error=repr(e)[:800])
 

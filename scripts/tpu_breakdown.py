@@ -69,7 +69,7 @@ def breakdown(tag, ctx, accumDtype=None):
 
     def _gfs(p):
         p = _cast_params_to_working(p, cfg.dtype)
-        chiTot, etaTot, chiT, etaT, UjiT = it.gather(p)
+        chiTot, etaTot = it.gather(p)
         srcNum = (etaTot + p['bgSca'][:, None, None, :]
                   * p['J'].astype(cfg.dtype)[:, None, None, :])
         S = srcNum / chiTot
@@ -121,6 +121,12 @@ if __name__ == '__main__':
     print(json.dumps({'device': str(jax.devices()[0])}), flush=True)
     ctxMixed = prepared_ctx(dtype=jnp.float32)
     breakdown('mixed', ctxMixed)
+    # the round-4 fast path: fused Pallas depth sweep + blocked
+    # Gamma/rate lambda accumulation
+    ctxFast = build_ctx(dtype=jnp.float32)
+    ctxFast._swap_cfg(recurrenceMode='pallas', gammaAccum='blocked')
+    ctxFast.formal_sol_gamma_matrices()
+    breakdown('pallas_blocked', ctxFast)
     # f32 accumulation (numerics would stall in production; this isolates
     # the cost of the f64-emulated accumulation contractions)
     breakdown('f32accum', ctxMixed, accumDtype=jnp.float32)
