@@ -58,15 +58,17 @@ def _time_ctx(ctx, Niter):
 
 def benchmark(Niter: int = 20, writeConfig: bool = False,
               verbose: bool = True, schemes: Optional[list] = None) -> dict:
-    """Race every (recurrence, precision) kernel variant, then race the
-    iteration schemes (XLA vs fused-Pallas Gamma) at the winning
-    variant; optionally persist the winners to the user config.  The
-    TPU-form of the reference autotuner racing ALL of its per-SIMD
-    iteration-scheme plugins and persisting the fastest
+    """Race every (recurrence, precision) kernel variant, the
+    Gamma-accumulation contract, and the iteration schemes (XLA /
+    fused lambda-step / fused-Pallas Gamma) at the winning variant;
+    optionally persist the winners to the user config.  The TPU-form of
+    the reference autotuner racing ALL of its per-SIMD iteration-scheme
+    plugins and persisting the fastest
     (ref: /root/reference/lightweaver/benchmark.py:19-113)."""
     import jax
     import jax.numpy as jnp
 
+    onTpu = jax.devices()[0].platform not in ('cpu',)
     variants = [
         ('scan', 'f64', None),
         ('parallel', 'f64', None),
@@ -75,6 +77,10 @@ def benchmark(Niter: int = 20, writeConfig: bool = False,
         ('parallel', 'mixed', jnp.float32),
         ('blocked', 'mixed', jnp.float32),
     ]
+    if onTpu:
+        # compiled Mosaic depth sweep: f32 working dtype only (Mosaic
+        # has no f64 vectors); off-TPU it would race the interpreter
+        variants.append(('pallas', 'mixed', jnp.float32))
     results = {}
     for mode, prec, dtype in variants:
         ctx = _build_ctx(dtype=dtype, recurrenceMode=mode)
@@ -86,18 +92,35 @@ def benchmark(Niter: int = 20, writeConfig: bool = False,
     best = min(results, key=results.get)
     bestDtype = jnp.float32 if best[1] == 'mixed' else None
 
-    # Scheme race at the winning variant.  The Pallas scheme is compiled
-    # Mosaic: only meaningful on a real TPU (interpret mode elsewhere
-    # would race emulation, not the kernel).
+    # Gamma lambda-accumulation contract at the winning variant (only
+    # distinct under mixed precision): 'blocked' trades the
+    # f64-emulated reductions for working-dtype block partials at a
+    # slightly raised dJ floor (see CLAUDE.md / test_gamma_accum.py)
+    bestAccum = 'exact'
+    accumResults = {'exact': results[best]}
+    if best[1] == 'mixed':
+        ctx = _build_ctx(dtype=bestDtype, recurrenceMode=best[0])
+        ctx._swap_cfg(gammaAccum='blocked')
+        accumResults['blocked'] = _time_ctx(ctx, Niter)
+        if verbose:
+            print(f"gammaAccum=blocked [{best[0]}/{best[1]}]: "
+                  f"{accumResults['blocked'] * 1e3:.1f} ms/iter")
+        bestAccum = min(accumResults, key=accumResults.get)
+
+    # Scheme race at the winning variant.  The Pallas schemes are
+    # compiled Mosaic: only meaningful on a real TPU (interpret mode
+    # elsewhere would race emulation, not the kernel).
     if schemes is None:
-        onTpu = jax.devices()[0].platform not in ('cpu',)
-        schemes = (['mali_full_precond', 'mali_full_precond_pallas']
+        schemes = (['mali_full_precond', 'mali_full_precond_fused',
+                    'mali_full_precond_pallas']
                    if onTpu else ['mali_full_precond'])
-    schemeResults = {'mali_full_precond': results[best]}
+    schemeResults = {'mali_full_precond': accumResults[bestAccum]}
     for scheme in schemes:
         if scheme in schemeResults:
             continue
         ctx = _build_ctx(dtype=bestDtype, recurrenceMode=best[0])
+        if bestAccum != 'exact':
+            ctx._swap_cfg(gammaAccum=bestAccum)
         try:
             ctx.set_fs_iter_scheme(scheme)
         except ValueError as e:
@@ -112,12 +135,14 @@ def benchmark(Niter: int = 20, writeConfig: bool = False,
     bestScheme = min(schemeResults, key=schemeResults.get)
 
     if verbose:
-        print(f'fastest: {best[0]}/{best[1]}/{bestScheme}')
+        print(f'fastest: {best[0]}/{best[1]}/{bestAccum}/{bestScheme}')
     if writeConfig:
         from .config import params
         params['RecurrenceMode'] = best[0]
         params['Precision'] = best[1]
+        params['GammaAccum'] = bestAccum
         params['IterationScheme'] = bestScheme
         params.save()
     return {'timings': results, 'best': best,
+            'accumTimings': accumResults, 'bestAccum': bestAccum,
             'schemeTimings': schemeResults, 'bestScheme': bestScheme}

@@ -545,16 +545,30 @@ def build_iteration_fn(cfg: IterConfig):
             jnp.zeros((LPadF, NkLF), dt), scaJ, (0, 0))
 
         # slot-packed line tensors: profiles + coefficient rows that
-        # absorb populations, a1(lambda) and (angle-averaged) PRD rho
-        phiP = jnp.zeros((nSlots, LPadF, M2, NkLF), dt)
-        chiCo = jnp.zeros((nSlots, LPadF, NkLF), dt)
-        etaCo = jnp.zeros((nSlots, LPadF, NkLF), dt)
+        # absorb populations, a1(lambda) and (angle-averaged) PRD rho.
+        # Assembled by per-slot CONCATENATION (slot members are disjoint
+        # intervals, so gaps are zeros segments) — every element written
+        # exactly once.  A dynamic-update-slice chain here costs a full
+        # copy of the 43 MB phiP buffer per line on TPU (measured
+        # 1.9 ms of assembly, vs 0.07 ms for the kernel itself).
+        bySlot = [[] for _ in range(nSlots)]
         for ai, a in enumerate(allAtoms):
-            n = params['allPops'][ai]
             for ti, t in enumerate(a.trans):
-                if not t.isLine:
-                    continue
-                c = lineSlots[(ai, ti)]
+                if t.isLine:
+                    bySlot[lineSlots[(ai, ti)]].append((t.Nblue, ai, ti))
+        phiSlots, chiSlots, etaSlots = [], [], []
+        lanePad = ((0, 0), (0, 0), (0, NkLF - Nk))
+        for c in range(nSlots):
+            segsP, segsC, segsE = [], [], []
+            cursor = 0
+            for nb, ai, ti in sorted(bySlot[c]):
+                t = allAtoms[ai].trans[ti]
+                n = params['allPops'][ai]
+                if nb > cursor:
+                    g = nb - cursor
+                    segsP.append(jnp.zeros((g, M2, NkLF), dt))
+                    segsC.append(jnp.zeros((g, NkLF), dt))
+                    segsE.append(jnp.zeros((g, NkLF), dt))
                 lamW = np.asarray(t.wavelength, np.float64)
                 a1 = jnp.asarray(
                     Const.HC_FOURPI * (t.lambda0 / lamW) * t.Bij,
@@ -572,13 +586,22 @@ def build_iteration_fn(cfg: IterConfig):
                 else:
                     cc = (ni - gS * rho * nj) * a1
                     ee = (uS * gS) * a1 * rho * nj
-                chiCo = _slab_add(chiCo, (c, t.Nblue, 0), (1, t.W, Nk),
-                                  cc[None])
-                etaCo = _slab_add(etaCo, (c, t.Nblue, 0), (1, t.W, Nk),
-                                  ee[None])
-                phiP = _slab_add(
-                    phiP, (c, t.Nblue, 0, 0), (1, t.W, M2, Nk),
-                    params['phi'][ai][ti].reshape(t.W, M2, Nk)[None])
+                segsP.append(jnp.pad(
+                    params['phi'][ai][ti].reshape(t.W, M2, Nk), lanePad))
+                segsC.append(jnp.pad(cc, lanePad[1:]))
+                segsE.append(jnp.pad(ee, lanePad[1:]))
+                cursor = t.Nred
+            if cursor < LPadF:
+                g = LPadF - cursor
+                segsP.append(jnp.zeros((g, M2, NkLF), dt))
+                segsC.append(jnp.zeros((g, NkLF), dt))
+                segsE.append(jnp.zeros((g, NkLF), dt))
+            phiSlots.append(jnp.concatenate(segsP, axis=0))
+            chiSlots.append(jnp.concatenate(segsC, axis=0))
+            etaSlots.append(jnp.concatenate(segsE, axis=0))
+        phiP = jnp.stack(phiSlots)
+        chiCo = jnp.stack(chiSlots)
+        etaCo = jnp.stack(etaSlots)
 
         T = params['temperature']
         height = params['height']
