@@ -348,19 +348,20 @@ def _wla(cfg: IterConfig, params, ai: int, ti: int, t: TransStatic):
     return jnp.broadcast_to(w[:, None], (t.W, cfg.Nk))
 
 
-def _accelerate_scattering(Jnew, Jdag, Psi, sca, wmu2, adt):
+def _accelerate_scattering(Jnew, Jdag, PsiBar, sca, adt):
     """Local (diagonal) operator acceleration of the coherent
     background-scattering lambda iteration.
 
     The formal solution computes J_fs = Lambda[(eta + sca*Jdag)/chi];
     its pointwise sensitivity to the lagged Jdag is
-    c(la, k) = sca(la, k) * sum_mu wmu2 * Psi(la, mu, +/-, k).
+    c(la, k) = sca(la, k) * PsiBar(la, k), where PsiBar is the
+    sum_mu wmu/2 * Psi(la, mu, +/-, k) angular moment (passed in so the
+    Mosaic kernels' in-kernel moments are reused when available).
     Solving the scalar fixed point J = J_fs + c*(J - Jdag) gives
     J = (J_fs - c*Jdag) / (1 - c): the Rayleigh/Thomson-dominated
     deep-UV rows converge in a few steps instead of O(1/(1-c)) pure
     lambda iterations.  Same fixed point (J = Jdag implies J = J_fs)."""
-    c = (sca.astype(adt) * jnp.sum(Psi.astype(adt) * wmu2[:, None, None],
-                                   axis=(1, 2)))
+    c = sca.astype(adt) * PsiBar.astype(adt)
     c = jnp.clip(c, 0.0, 1.0 - 1e-3)
     return (Jnew - c * Jdag) / (1.0 - c)
 
@@ -781,10 +782,13 @@ def build_iteration_fn(cfg: IterConfig):
 
         if cfg.recurrenceMode == 'pallas':
             # fused Mosaic depth sweep: coefficients + recurrence +
-            # Psi/IeffBase in one VMEM-resident pass (ops/pallas_sweep.py)
+            # Psi/IeffBase + angular moments in one VMEM-resident pass
+            # (ops/pallas_sweep.py); the moments replace the emulated-
+            # f64 J reduction and the factored-path _sum_mu passes
             from .ops.pallas_sweep import formal_solve_sweep
             return formal_solve_sweep(chiTot, S, height, muz,
-                                      Iupw_d.astype(dt), Iupw_u.astype(dt))
+                                      Iupw_d.astype(dt), Iupw_u.astype(dt),
+                                      wmu=cfg.wmu)
 
         muzB = jnp.broadcast_to(muz[None, :], (NL, Nmu)).reshape(-1)
         I_d, Psi_d, Ieffb_d = formal_sol_1d(
@@ -802,7 +806,7 @@ def build_iteration_fn(cfg: IterConfig):
                          Psi_u.reshape(NL, Nmu, Nk)], axis=2)
         IeffBase = jnp.stack([Ieffb_d.reshape(NL, Nmu, Nk),
                               Ieffb_u.reshape(NL, Nmu, Nk)], axis=2)
-        return I, Psi, IeffBase
+        return I, Psi, IeffBase, None
 
     def level_sum_on_window(params, fn, ai, a: AtomStatic, t: TransStatic,
                             items, signed):
@@ -829,6 +833,7 @@ def build_iteration_fn(cfg: IterConfig):
         # wmu-reduction); the formal solve consumes it at working dtype.
         Jdag = params['J'].astype(cfg.accumDtype)
         JdagW = params['J'].astype(cfg.dtype)
+        swMoments = None
 
         if useFused:
             # fused Pallas lambda step: assembly + FS + J/moments in one
@@ -856,7 +861,8 @@ def build_iteration_fn(cfg: IterConfig):
             if cfg.Ndim == 2:
                 I, Psi, IeffBase = formal_solve_2d(params, chiTot, S)
             else:
-                I, Psi, IeffBase = formal_solve(params, chiTot, S)
+                I, Psi, IeffBase, swMoments = formal_solve(
+                    params, chiTot, S)
             if lambdaIterate:
                 Psi = jnp.zeros_like(Psi)
                 IeffBase = I
@@ -868,13 +874,35 @@ def build_iteration_fn(cfg: IterConfig):
             # floors dJ at ~1e-2 on FAL-C 5-ray problems (measured
             # round 3; the 40-pt 3-ray test_mixed_precision case
             # converges either way and does NOT catch this).  Do not
-            # "optimise" this cast away.
-            Jnew = _sum_mu(I[:Nlam].astype(cfg.accumDtype),
-                           0.5 * wmu.astype(cfg.accumDtype))
+            # "optimise" this cast away.  The sweep kernel's in-kernel
+            # TwoSum pairs meet the same contract (~2^-48 relative)
+            # without the emulated-f64 pass over the ray tensor.
+            if swMoments is not None:
+                Jhi2, Jlo2 = swMoments['Jhi'], swMoments['Jlo']
+                Jnew = (Jhi2[0].astype(cfg.accumDtype)
+                        + Jlo2[0].astype(cfg.accumDtype)
+                        + Jhi2[1].astype(cfg.accumDtype)
+                        + Jlo2[1].astype(cfg.accumDtype))
+            else:
+                Jnew = _sum_mu(I[:Nlam].astype(cfg.accumDtype),
+                               0.5 * wmu.astype(cfg.accumDtype))
         if cfg.accelerateScattering:
+            # c needs only the PsiBar angular moment; use the in-kernel
+            # moment when the sweep/fused kernel produced it instead of
+            # re-reducing the full Psi ray tensor in accumDtype
+            if useFused:
+                PsiBarAcc = PsiBar32.astype(cfg.accumDtype)
+            elif swMoments is not None:
+                PsiBarAcc = (jnp.zeros_like(swMoments['PsiBar'])
+                             if lambdaIterate
+                             else swMoments['PsiBar']).astype(
+                                 cfg.accumDtype)
+            else:
+                PsiBarAcc = _sum_mu(
+                    Psi[:Nlam].astype(cfg.accumDtype),
+                    (0.5 * wmu).astype(cfg.accumDtype))
             Jnew = _accelerate_scattering(
-                Jnew, Jdag, Psi[:Nlam], params['bgSca'],
-                (0.5 * wmu).astype(cfg.accumDtype), cfg.accumDtype)
+                Jnew, Jdag, PsiBarAcc, params['bgSca'], cfg.accumDtype)
         dJ = jnp.max(jnp.abs(1.0 - jnp.where(Jnew != 0.0, Jdag / Jnew, 1.0)))
 
         JRest = None
@@ -920,6 +948,17 @@ def build_iteration_fn(cfg: IterConfig):
             PsiBar = PsiBar32.astype(adt)
             IBar = IBar32.astype(adt)
             IeffBaseSrcBar = IeffSrcBar32.astype(adt)
+        elif factored and swMoments is not None:
+            # sweep-kernel in-kernel moments (same working-dtype-then-
+            # cast contract); under lambdaIterate mirror the fused
+            # branch: PsiBar = 0, IeffSrcBar = IBar
+            IBar = swMoments['IBar'].astype(adt)
+            if lambdaIterate:
+                PsiBar = jnp.zeros_like(IBar)
+                IeffBaseSrcBar = IBar
+            else:
+                PsiBar = swMoments['PsiBar'].astype(adt)
+                IeffBaseSrcBar = swMoments['IeffSrcBar'].astype(adt)
         elif factored:
             # angular moments shared by all mu-independent (continuum)
             # contractions: avoids broadcasting [W,1,1,Nk] continuum
@@ -1461,7 +1500,8 @@ def build_prd_subset_fn(cfg: IterConfig, subIdxs: np.ndarray,
             Psi = jnp.stack([Psi_d.reshape(Nsub, Nmu, Nk),
                              Psi_u.reshape(Nsub, Nmu, Nk)], axis=2)
             Jnew = _accelerate_scattering(
-                Jnew, Jdag, Psi, params['bgSca'][subIdxsJ], wmu2, adt)
+                Jnew, Jdag, _sum_mu(Psi.astype(adt), wmu2),
+                params['bgSca'][subIdxsJ], adt)
         dJ = jnp.max(jnp.abs(1.0 - jnp.where(Jnew != 0.0, Jdag / Jnew, 1.0)))
 
         JRest = None
@@ -1505,10 +1545,16 @@ def build_prd_subset_fn(cfg: IterConfig, subIdxs: np.ndarray,
 
 
 @partial(jax.jit)
+@jax.jit
 def _stat_eq_solve(Gamma, n, nTotal):
     """Batched-over-depth statistical equilibrium: replace the row of the
     largest population with particle conservation and solve.
-    ref: /root/reference/Source/UpdatePopulations.cpp:7-47"""
+    ref: /root/reference/Source/UpdatePopulations.cpp:7-47
+
+    jitted: the unrolled KxK elimination is hundreds of small ops;
+    dispatched eagerly they serialize into device round-trips that cost
+    ~100x the solve itself per MALI step (measured on the axon TPU:
+    ~0.2 s/iteration eager vs ~3 ms jitted for the 82-pt FAL-C)."""
     Nl = Gamma.shape[0]
     iElim = jnp.argmax(n, axis=0)                       # [Nk]
     rowMask = (jnp.arange(Nl)[:, None] == iElim[None, :])   # [Nl, Nk]

@@ -180,15 +180,34 @@ def lane_sweep_affine(chi, S, dsInt, iupw, gl, N: int, NkL: int,
     return bp, psiN, A, bNL          # I_start folds in via A_start = 0
 
 
-def _sweep_kernel(N: int, dt, NkL: int, dirn: int,
+def _two_sum(hi, lo, term):
+    """Knuth TwoSum accumulate: (hi, lo) += term, exactly."""
+    s = hi + term
+    b = s - hi
+    err = (hi - (s - b)) + (term - b)
+    return s, lo + err
+
+
+def _sweep_kernel(N: int, dt, NkL: int, dirn: int, wmuHalf,
                   ds_ref, invmu_ref, iupw_ref, chi_ref, s_ref,
-                  i_ref, psi_ref, ieffb_ref):
+                  i_ref, psi_ref, ieffb_ref,
+                  jhi_ref, jlo_ref, psibar_ref, ibar_ref, isbar_ref):
     """One lambda-row block; the full depth axis rides the lanes.
 
     dirn = +1: sweep from g=0 (down);  dirn = -1: sweep from g=N-1.
     ds_ref [1, NkL]: |h[g] - h[g+1]| at lane g (pad 1.0); invmu [M, 1]
-    as [M, 128] lane-uniform; iupw [RB, M]; chi/s and outputs
+    as [M, 128] lane-uniform; iupw [RB, M]; chi/s and ray outputs
     [RB, M, NkL].
+
+    The kernel also emits this direction's angular-moment rows
+    [RB, NkL]: the J contribution as a TwoSum-compensated f32 pair
+    (Jhi, Jlo) — Jhi + Jlo evaluated in f64 outside carries ~2^-48
+    relative error, preserving the f64-J convergence contract without
+    an emulated-f64 pass over the ray tensor (same contract as
+    ops/pallas_fused.py) — plus the working-dtype PsiBar/IBar and
+    IeffSrcBar = sum_mu w*(IeffBase + Psi*srcNum) moments the factored
+    Gamma path and the scattering acceleration consume (Psi*srcNum =
+    psiN*S exactly, both being (psiN/chi)*(S*chi)).
     """
     M = invmu_ref.shape[0]
     gl = jax.lax.broadcasted_iota(jnp.int32, (RB, M, NkL), 2)
@@ -205,16 +224,44 @@ def _sweep_kernel(N: int, dt, NkL: int, dirn: int,
     I, psiN, A, bNL = lane_sweep_affine(chi, S, dsInt, iupw, gl,
                                         N, NkL, dirn, dt)
     iPrev = _roll(I, dirn)           # garbage at the start lane; A = 0
+    ieffb = A * iPrev + bNL
+    psi = psiN / chi
     i_ref[:] = I
-    psi_ref[:] = psiN / chi
-    ieffb_ref[:] = A * iPrev + bNL
+    psi_ref[:] = psi
+    ieffb_ref[:] = ieffb
+
+    jhi = jnp.zeros((RB, NkL), dt)
+    jlo = jnp.zeros((RB, NkL), dt)
+    psibar = jnp.zeros((RB, NkL), dt)
+    ibar = jnp.zeros((RB, NkL), dt)
+    isbar = jnp.zeros((RB, NkL), dt)
+    for m in range(M):
+        w = jnp.asarray(float(wmuHalf[m]), dt)
+
+        def row(x):
+            return jnp.reshape(
+                jax.lax.slice(x, (0, m, 0), (RB, m + 1, NkL)), (RB, NkL))
+        Im = row(I)
+        jhi, jlo = _two_sum(jhi, jlo, w * Im)
+        ibar = ibar + w * Im
+        psibar = psibar + w * row(psi)
+        isbar = isbar + w * (row(ieffb) + row(psiN) * row(S))
+    jhi_ref[:] = jhi
+    jlo_ref[:] = jlo
+    psibar_ref[:] = psibar
+    ibar_ref[:] = ibar
+    isbar_ref[:] = isbar
 
 
-def _sweep_dir(chi, S, dsLane, invmu, Iupw, N: int, dirn: int):
+def _sweep_dir(chi, S, dsLane, invmu, Iupw, N: int, dirn: int, wmuHalf):
     """One direction on native-layout [LPad, M, NkL] data."""
     LPad, M, NkL = chi.shape
     dt = chi.dtype
-    kernel = partial(_sweep_kernel, N, dt, NkL, dirn)
+    kernel = partial(_sweep_kernel, N, dt, NkL, dirn, wmuHalf)
+    ray = pl.BlockSpec((RB, M, NkL), lambda i: (i, _Z, _Z),
+                       memory_space=pltpu.VMEM)
+    row = pl.BlockSpec((RB, NkL), lambda i: (i, _Z),
+                       memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         grid=(LPad // RB,),
@@ -225,34 +272,34 @@ def _sweep_dir(chi, S, dsLane, invmu, Iupw, N: int, dirn: int):
                          memory_space=pltpu.VMEM),       # invmu
             pl.BlockSpec((RB, M), lambda i: (i, _Z),
                          memory_space=pltpu.VMEM),       # Iupw
-            pl.BlockSpec((RB, M, NkL), lambda i: (i, _Z, _Z),
-                         memory_space=pltpu.VMEM),       # chi
-            pl.BlockSpec((RB, M, NkL), lambda i: (i, _Z, _Z),
-                         memory_space=pltpu.VMEM),       # S
+            ray,                                         # chi
+            ray,                                         # S
         ],
-        out_specs=[
-            pl.BlockSpec((RB, M, NkL), lambda i: (i, _Z, _Z),
-                         memory_space=pltpu.VMEM)
-            for _ in range(3)
-        ],
-        out_shape=[jax.ShapeDtypeStruct((LPad, M, NkL), dt)
-                   for _ in range(3)],
+        out_specs=[ray, ray, ray, row, row, row, row, row],
+        out_shape=([jax.ShapeDtypeStruct((LPad, M, NkL), dt)] * 3
+                   + [jax.ShapeDtypeStruct((LPad, NkL), dt)] * 5),
         interpret=_interpret_mode(),
     )(dsLane, invmu, Iupw, chi, S)
 
 
-def formal_solve_sweep(chi, S, height, muz, IupwD, IupwU):
+def formal_solve_sweep(chi, S, height, muz, IupwD, IupwU, wmu=None):
     """Drop-in for the 1D XLA formal solve at the iteration level.
 
     chi, S: [NL, Nmu, 2, Nk] (d=0 down/toObs=False, d=1 up).
     height [Nk]; muz [Nmu]; IupwD/IupwU: [NL, Nmu] boundary intensities.
-    Returns I, Psi, IeffBase in the same [NL, Nmu, 2, Nk] layout.
+    Returns (I, Psi, IeffBase) in the same [NL, Nmu, 2, Nk] layout,
+    plus the in-kernel angular moments as a dict: 'Jhi'/'Jlo' (the
+    TwoSum f32 J pair, already combined across directions lossleessly
+    as two pairs -> evaluate Jhi + Jlo in the accumulation dtype) and
+    working-dtype 'PsiBar'/'IBar'/'IeffSrcBar' [NL, Nk].  ``wmu`` is
+    the angular quadrature weight vector (moments use wmu/2).
     """
     NL, Nmu, _, Nk = chi.shape
     dt = chi.dtype
     M = Nmu
     NkL = -(-Nk // 128) * 128
     LPad = -(-NL // RB) * RB
+    wmuHalf = tuple(float(0.5 * w) for w in np.asarray(wmu))
 
     h = jnp.asarray(height, dt)
     dh = jnp.abs(h[:-1] - h[1:])
@@ -269,10 +316,20 @@ def formal_solve_sweep(chi, S, height, muz, IupwD, IupwU):
     for d, dirn, Iupw in ((0, 1, IupwD), (1, -1, IupwU)):
         bc = jnp.pad(Iupw.astype(dt), ((0, LPad - NL), (0, 0)))
         res = _sweep_dir(prep(chi, d, 1.0), prep(S, d, 0.0),
-                         dsLane, invmu, bc, Nk, dirn)
-        outs.append(tuple(r[:NL, :, :Nk] for r in res))
+                         dsLane, invmu, bc, Nk, dirn, wmuHalf)
+        outs.append(tuple(r[:NL, :, :Nk] for r in res[:3])
+                    + tuple(r[:NL, :Nk] for r in res[3:]))
 
     I = jnp.stack([outs[0][0], outs[1][0]], axis=2)
     Psi = jnp.stack([outs[0][1], outs[1][1]], axis=2)
     IeffB = jnp.stack([outs[0][2], outs[1][2]], axis=2)
-    return I, Psi, IeffB
+    moments = {
+        # per-direction TwoSum pairs; each pair is exact, so summing
+        # the two pairs in accumDtype outside loses nothing
+        'Jhi': (outs[0][3], outs[1][3]),
+        'Jlo': (outs[0][4], outs[1][4]),
+        'PsiBar': outs[0][5] + outs[1][5],
+        'IBar': outs[0][6] + outs[1][6],
+        'IeffSrcBar': outs[0][7] + outs[1][7],
+    }
+    return I, Psi, IeffB, moments

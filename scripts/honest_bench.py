@@ -1,9 +1,10 @@
 """The honest benchmark set (round-4 verdict ask #3), committed as
-BENCH_HONEST_r04.json:
+BENCH_HONEST_r05.json:
 
   A. bench.py-problem ms/iter (FALC-500, H6+CaII, 5 rays, 50 iters) for
-     full f64, mixed (f32 state + f64 accum, the headline config), and
-     mixed with gammaAccum='blocked';
+     full f64, mixed (f32 state + f64 accum, the headline config), mixed
+     with gammaAccum='blocked', and the shipped fast path (fused Pallas
+     depth sweep + blocked Gamma);
   B. wall time to CONVERGED FAL-C populations on the canonical problem
      (FAL-C 82-pt, H6+CaII, 5 rays, iterate_ctx_se defaults: Nscatter=3,
      JTol=5e-3, popsTol=1e-3 — BASELINE.md) for f64 and mixed, with
@@ -31,16 +32,16 @@ def log(**kw):
     print(json.dumps(kw), flush=True)
 
 
-def bench_ms(dtype, gammaAccum='exact', nIter=50):
+def bench_ms(dtype, gammaAccum='exact', nIter=50, fast=False):
     from bench import build_ctx, time_iterations
-    ctx = build_ctx(dtype=dtype)
-    if gammaAccum != 'exact':
+    ctx = build_ctx(dtype=dtype, fast=fast)
+    if gammaAccum != 'exact' and not fast:
         ctx._swap_cfg(gammaAccum=gammaAccum)
     wall = time_iterations(ctx, nIter=nIter)
     return wall / nIter * 1e3
 
 
-def converge_falc(dtype):
+def converge_falc(dtype, fast=False):
     import lightweaver_tpu as lw
     from lightweaver_tpu.rh_atoms import CaII_atom, H_6_atom
     atmos = lw.Falc82()
@@ -49,10 +50,13 @@ def converge_falc(dtype):
     rs.set_active('H', 'Ca')
     spect = rs.compute_wavelength_grid()
     eqPops = rs.compute_eq_pops(atmos)
-    ctx = lw.Context(atmos, spect, eqPops, dtype=dtype)
+    kw = (dict(recurrenceMode='pallas', gammaAccum='blocked') if fast
+          else {})
+    ctx = lw.Context(atmos, spect, eqPops, dtype=dtype, **kw)
     # warm the compile so the wall time measures iteration, not XLA
     ctx.formal_sol_gamma_matrices()
-    ctx2 = lw.Context(atmos, spect, rs.compute_eq_pops(atmos), dtype=dtype)
+    ctx2 = lw.Context(atmos, spect, rs.compute_eq_pops(atmos),
+                      dtype=dtype, **kw)
     t0 = time.perf_counter()
     nIter = lw.iterate_ctx_se(ctx2, quiet=True)
     wall = time.perf_counter() - t0
@@ -78,24 +82,28 @@ def main():
                                      'intact, test_gamma_accum.py); '
                                      'opt-in performance mode',
            }}
-    for tag, dtype, acc in (('f64', None, 'exact'),
-                            ('mixed', jnp.float32, 'exact'),
-                            ('mixed_blockedGamma', jnp.float32, 'blocked')):
+    for tag, dtype, acc, fast in (
+            ('f64', None, 'exact', False),
+            ('mixed', jnp.float32, 'exact', False),
+            ('mixed_blockedGamma', jnp.float32, 'blocked', False),
+            ('fast_pallas_blocked', jnp.float32, 'blocked', True)):
         try:
-            ms = bench_ms(dtype, acc)
+            ms = bench_ms(dtype, acc, fast=fast)
             out.setdefault('ms_per_iter', {})[tag] = round(ms, 3)
             log(stage='A', tag=tag, ms_per_iter=round(ms, 3))
         except Exception as e:
             log(stage='A', tag=tag, error=repr(e)[:300])
-    for tag, dtype in (('f64', None), ('mixed', jnp.float32)):
+    for tag, dtype, fast in (('f64', None, False),
+                             ('mixed', jnp.float32, False),
+                             ('fast_pallas_blocked', jnp.float32, True)):
         try:
-            wall, iters = converge_falc(dtype)
+            wall, iters = converge_falc(dtype, fast=fast)
             out.setdefault('falc_converged', {})[tag] = {
                 'wall_s': round(wall, 2), 'iterations': iters}
             log(stage='B', tag=tag, wall_s=round(wall, 2), iters=iters)
         except Exception as e:
             log(stage='B', tag=tag, error=repr(e)[:300])
-    p = Path(__file__).parent.parent / 'BENCH_HONEST_r04.json'
+    p = Path(__file__).parent.parent / 'BENCH_HONEST_r05.json'
     p.write_text(json.dumps(out, indent=1))
     log(wrote=str(p))
 

@@ -93,15 +93,22 @@ def breakdown(tag, ctx, accumDtype=None):
             print(json.dumps({'stage': f'{tag}:{name}:cost',
                               'error': str(e)}), flush=True)
 
-    t = timeit(gather, params); report(f'{tag}:gather', 1e3 * t)
-    cost(gather, 'gather', t)
-    t = timeit(gfs, params); report(f'{tag}:gather+fs', 1e3 * t)
-    cost(gfs, 'gather+fs', t)
-    t = timeit(lam_it, params); report(f'{tag}:lambda_iterate', 1e3 * t)
-    cost(lam_it, 'lambda_iterate', t)
-    tFull = timeit(full, params)
-    report(f'{tag}:full', 1e3 * tFull)
-    cost(full, 'full', tFull)
+    # order: most-important rows first — the standalone gather/gfs
+    # closures compile into very large XLA programs under the sliced
+    # gather (every segment a private subgraph) and the remote compile
+    # can take tens of minutes or hang the tunnel; a stall there must
+    # not cost the full/lambda_iterate rows.  Filter stages with e.g.
+    # BREAKDOWN_STAGES=full,lambda_iterate.
+    import os
+    stages = os.environ.get('BREAKDOWN_STAGES',
+                            'full,lambda_iterate,gather+fs,gather')
+    stageFns = {'full': full, 'lambda_iterate': lam_it,
+                'gather+fs': gfs, 'gather': gather}
+    for name in stages.split(','):
+        fn = stageFns[name.strip()]
+        t = timeit(fn, params)
+        report(f'{tag}:{name}', 1e3 * t)
+        cost(fn, name, t)
 
 
 def breakdown_scheme(tag, ctx, scheme):
@@ -119,17 +126,18 @@ def breakdown_scheme(tag, ctx, scheme):
 
 if __name__ == '__main__':
     print(json.dumps({'device': str(jax.devices()[0])}), flush=True)
-    ctxMixed = prepared_ctx(dtype=jnp.float32)
+    # the XLA general path ('parallel' recurrence, exact Gamma accum)
+    ctxMixed = prepared_ctx(dtype=jnp.float32, fast=False)
     breakdown('mixed', ctxMixed)
-    # the round-4 fast path: fused Pallas depth sweep + blocked
-    # Gamma/rate lambda accumulation
-    ctxFast = build_ctx(dtype=jnp.float32)
-    ctxFast._swap_cfg(recurrenceMode='pallas', gammaAccum='blocked')
-    ctxFast.formal_sol_gamma_matrices()
+    # the shipped fast path (bench.py default on TPU): fused Pallas
+    # depth sweep + blocked Gamma/rate lambda accumulation
+    ctxFast = prepared_ctx(dtype=jnp.float32, fast=True)
     breakdown('pallas_blocked', ctxFast)
     # f32 accumulation (numerics would stall in production; this isolates
     # the cost of the f64-emulated accumulation contractions)
     breakdown('f32accum', ctxMixed, accumDtype=jnp.float32)
+    # the fused lambda-step scheme (assembly+FS+J in one Mosaic kernel)
+    breakdown_scheme('mixed_fused', ctxFast, 'mali_full_precond_fused')
     # the fused Pallas Gamma scheme at the benched mixed precision
     breakdown_scheme('mixed_pallas', ctxMixed, 'mali_full_precond_pallas')
     ctx64 = prepared_ctx(dtype=jnp.float64)

@@ -33,10 +33,21 @@ def test_sweep_matches_formal_sol_1d():
     IupwD = rng.uniform(0, 1, (NL, Nmu))
     IupwU = rng.uniform(0, 1, (NL, Nmu))
 
+    wmu = np.array([0.3, 0.4, 0.3])
     chi_j, S_j = jnp.asarray(chi), jnp.asarray(S)
-    I, Psi, Ieffb = formal_solve_sweep(
+    I, Psi, Ieffb, moments = formal_solve_sweep(
         chi_j, S_j, jnp.asarray(h), jnp.asarray(muz),
-        jnp.asarray(IupwD), jnp.asarray(IupwU))
+        jnp.asarray(IupwD), jnp.asarray(IupwU), wmu=jnp.asarray(wmu))
+
+    # in-kernel angular moments match the host reduction
+    w2 = 0.5 * wmu
+    J = (np.asarray(moments['Jhi'][0]) + np.asarray(moments['Jlo'][0])
+         + np.asarray(moments['Jhi'][1]) + np.asarray(moments['Jlo'][1]))
+    Jref = (np.asarray(I) * w2[None, :, None, None]).sum(axis=(1, 2))
+    np.testing.assert_allclose(J, Jref, rtol=1e-12)
+    PsiBarRef = (np.asarray(Psi) * w2[None, :, None, None]).sum(axis=(1, 2))
+    np.testing.assert_allclose(np.asarray(moments['PsiBar']), PsiBarRef,
+                               rtol=1e-12)
 
     muzB = jnp.broadcast_to(jnp.asarray(muz)[None, :],
                             (NL, Nmu)).reshape(-1)
