@@ -113,20 +113,26 @@ def time_iterations(ctx, nIter=50, warmup=2, reps=3):
 
 
 def min_hbm_bytes_per_iter(ctx):
-    """Lower bound on HBM traffic of one MALI iteration, assuming
-    perfect fusion: every full ray-grid tensor ([Nlam, Nmu, 2, Nk]) and
-    windowed per-transition tensor the iteration must materialise or
-    re-read, in the working dtype.
+    """Minimum HBM traffic of one MALI iteration for the SHIPPED
+    pipeline structure (sliced gather -> S -> fused Mosaic sweep with
+    in-kernel moments -> windowed Gamma/rates), assuming each stage is
+    perfectly fused internally.  Per-transition windows are recomputed
+    from phi slices (never materialised), so phi is the only windowed
+    stream; continuum cross-sections are [W, Nk] (mu-independent).
 
-    Streams counted (write + the later read each):
-      gather:   chiTot, etaTot (+ per-line chi/eta/Uji windows)
-      FS:       reads chiTot/etaTot-derived S; writes I, Psi
-      Gamma:    re-reads I, Psi and the per-line windows
-    Continuum windows are [W, Nk] (mu-independent) and counted as such.
+    Streams (read r / write w), f32 working dtype:
+      gather:  r phi line windows + continuum alphas; w chiTot, etaTot
+      S:       r chiTot, etaTot; w S
+      sweep:   r chiTot, S; w I, Psi, IeffBase + 10 moment rows
+      J:       r the moment rows (accum-dtype finish is [Nlam, Nk])
+      Gamma:   r I/Psi/IeffBase line windows, r phi line windows again
+               (chi/eta/Uji recomputed), r continuum alphas + the
+               row moments for the factored continuum contractions
     """
     cfg = ctx.cfg
     itemsize = np.dtype(ctx.dtype).itemsize
     ray = cfg.Nlam * cfg.Nmu * 2 * cfg.Nk
+    rowT = cfg.Nlam * cfg.Nk
     lineW = 0
     contW = 0
     for a in (cfg.activeAtoms + cfg.detailedAtoms):
@@ -137,11 +143,12 @@ def min_hbm_bytes_per_iter(ctx):
                 contW += t.W
     lineRay = lineW * cfg.Nmu * 2 * cfg.Nk
     contCol = contW * cfg.Nk
-    # per-line windows: phi read; chi/eta/Uji/Vij/Vji written + read once
-    gather = 2 * ray + lineRay * (1 + 2 * 5) + contCol * (1 + 2 * 5)
-    fs = 2 * ray + 2 * 2 * ray          # read chi,S; write+read I, Psi
-    gamma = lineRay * 0                  # windows already counted above
-    return (gather + fs + gamma) * itemsize
+    gather = lineRay + contCol + 2 * ray           # r phi/alpha, w chi/eta
+    sstage = 3 * ray                               # r chi,eta; w S
+    sweep = 2 * ray + 3 * ray + 10 * rowT          # r chi,S; w I/Psi/Ieffb
+    jstage = 10 * rowT
+    gamma = 3 * lineRay + 2 * lineRay + 3 * contCol + 6 * rowT
+    return (gather + sstage + sweep + jstage + gamma) * itemsize
 
 
 def main():

@@ -27,6 +27,8 @@ from dataclasses import dataclass, field
 from functools import partial
 from typing import Dict, List, Optional, Tuple
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -469,7 +471,114 @@ def build_iteration_fn(cfg: IterConfig):
         t = allAtoms[ai].trans[ti]
         return _uv(cfg, params, ai, ti, t, lo, hi)[0]
 
-    def gather(params):
+    # with the Mosaic sweep, gather emits the kernel layout directly
+    # (depth lanes padded to a 128 multiple with chi=1/eta=0, lambda
+    # rows padded to an RB multiple with chi=1): the pad is fused into
+    # the segment writes instead of costing a full copy pass over both
+    # ray tensors between gather and the kernel
+    sweepPadded = (cfg.recurrenceMode == 'pallas' and cfg.Ndim == 1
+                   and not usePallas)
+    if sweepPadded:
+        from .ops.pallas_sweep import RB as _SRB
+        NkLS = -(-Nk // 128) * 128
+        LPadS = -(-Nlam // _SRB) * _SRB
+    else:
+        NkLS, LPadS = Nk, NlamPad
+
+    # slot-packed gather (sweep path): interval-coloured line windows
+    # concatenated into C dense coefficient/profile tensors, so
+    # chi/srcNum assembly is a handful of FULL-GRID fused elementwise
+    # kernels instead of ~2x Nedges segment writes.  RACED on v5e
+    # (round 5): it LOSES to the segment gather — the mostly-zeros
+    # [C, 2, LPad, Nmu, NkL] phi streams cost more than the segment
+    # launches (5.1 vs 2.4 ms full iteration at RB=8) — so it is
+    # opt-in (LW_SWEEP_GATHER=slot) and kept only as a raceable
+    # experiment.  Requires mu-independent rho (no hPRD).
+    slotGather = (sweepPadded and not cfg.hprd
+                  and os.environ.get('LW_SWEEP_GATHER', 'segment')
+                  == 'slot')
+    if slotGather:
+        from .ops.pallas_fused import assign_line_slots
+        _slotMap, _nSlots = assign_line_slots(allAtoms)
+
+    def gather_slot(params, scaJ):
+        """chiTot/srcNum in the sweep layout via slot packing."""
+        M2 = Nmu * 2
+        one = jnp.asarray(1.0, dt)
+        # mu-independent continuum rows (cited from fused_stage)
+        contChi = jnp.zeros((Nlam, Nk), dt)
+        contEta = jnp.zeros((Nlam, Nk), dt)
+        for ai, a in enumerate(allAtoms):
+            for ti, t in enumerate(a.trans):
+                if t.isLine:
+                    continue
+                c, e = chi_eta_w(params, ai, ti, t.Nblue, t.Nred)
+                contChi = _window_add(contChi, t.Nblue, c[:, 0, 0, :])
+                contEta = _window_add(contEta, t.Nblue, e[:, 0, 0, :])
+        rowPad = ((0, LPadS - Nlam), (0, NkLS - Nk))
+        bgChiRow = jnp.pad(params['bgChi'] + contChi, rowPad,
+                           constant_values=one)
+        srcRow = jnp.pad(params['bgEta'] + contEta + scaJ, rowPad)
+
+        # per-slot concatenated phi + coefficient rows (absorb pops,
+        # a1 and angle-averaged PRD rho; ref fused_stage / _uv)
+        bySlot = [[] for _ in range(_nSlots)]
+        for ai, a in enumerate(allAtoms):
+            for ti, t in enumerate(a.trans):
+                if t.isLine:
+                    bySlot[_slotMap[(ai, ti)]].append((t.Nblue, ai, ti))
+        lanePad4 = ((0, 0), (0, 0), (0, 0), (0, NkLS - Nk))
+        chiT = jnp.broadcast_to(
+            bgChiRow[None, :, None, :], (2, LPadS, Nmu, NkLS))
+        srcT = jnp.broadcast_to(
+            srcRow[None, :, None, :], (2, LPadS, Nmu, NkLS))
+        for c in range(_nSlots):
+            segsP, segsC, segsE = [], [], []
+            cursor = 0
+            for nb, ai, ti in sorted(bySlot[c]):
+                t = allAtoms[ai].trans[ti]
+                n = params['allPops'][ai]
+                if nb > cursor:
+                    g = nb - cursor
+                    segsP.append(jnp.zeros((2, g, Nmu, NkLS), dt))
+                    segsC.append(jnp.zeros((g, NkLS), dt))
+                    segsE.append(jnp.zeros((g, NkLS), dt))
+                lamW = np.asarray(t.wavelength, np.float64)
+                a1 = jnp.asarray(
+                    Const.HC_FOURPI * (t.lambda0 / lamW) * t.Bij,
+                    dt)[:, None]
+                gS, uS = t.Bji / t.Bij, t.Aji / t.Bji
+                rho = None
+                if t.isPrd and params.get('rhoPrd') is not None:
+                    r = params['rhoPrd'][ai][ti]
+                    if r is not None:
+                        rho = r.astype(dt)
+                ni, nj = n[t.i][None, :], n[t.j][None, :]
+                if rho is None:
+                    cc = (ni - gS * nj) * a1
+                    ee = (uS * gS) * a1 * nj
+                else:
+                    cc = (ni - gS * rho * nj) * a1
+                    ee = (uS * gS) * a1 * rho * nj
+                segsP.append(jnp.pad(
+                    jnp.moveaxis(params['phi'][ai][ti], 2, 0),
+                    lanePad4))
+                segsC.append(jnp.pad(cc, lanePad4[2:]))
+                segsE.append(jnp.pad(ee, lanePad4[2:]))
+                cursor = t.Nred
+            if cursor < LPadS:
+                g = LPadS - cursor
+                segsP.append(jnp.zeros((2, g, Nmu, NkLS), dt))
+                segsC.append(jnp.zeros((g, NkLS), dt))
+                segsE.append(jnp.zeros((g, NkLS), dt))
+            phiC = jnp.concatenate(segsP, axis=1)
+            ccC = jnp.concatenate(segsC, axis=0)[None, :, None, :]
+            eeC = jnp.concatenate(segsE, axis=0)[None, :, None, :]
+            chiT = chiT + ccC * phiC
+            srcT = srcT + eeC * phiC
+        return chiT, srcT
+
+    def gather(params, scaJ=None):
         # Assemble chiTot/etaTot by STATIC wavelength segmentation instead
         # of a per-transition dynamic-update-slice chain: between two
         # consecutive window edges the covering transition set is fixed,
@@ -479,11 +588,21 @@ def build_iteration_fn(cfg: IterConfig):
         # costs a large multiple of the tensor in HBM traffic on TPU.
         # Per-segment chi/eta contributions are recomputed from phi
         # slices (chi_eta_w), never materialised as full windows.
+        #
+        # With ``scaJ`` (sweep path only) the coherent-scattering term
+        # is added per segment AFTER the line sum — the same summation
+        # order as the downstream srcNum = etaTot + scaJ — so the
+        # second return IS srcNum and the separate srcNum/S
+        # materialisation pass over the ray tensor disappears (the
+        # Mosaic sweep divides S = srcNum/chi in VMEM).
         spans = [(t.Nblue, t.Nred, ai, ti)
                  for ai, a in enumerate(allAtoms)
                  for ti, t in enumerate(a.trans)]
         edges = sorted({0, Nlam, *(s[0] for s in spans),
                         *(s[1] for s in spans)})
+        lanePad = NkLS - Nk
+        one = jnp.asarray(1.0, dt)
+        zero = jnp.asarray(0.0, dt)
         segsChi, segsEta = [], []
         for s0, s1 in zip(edges[:-1], edges[1:]):
             segChi = params['bgChi'][s0:s1][:, None, None, :]
@@ -493,15 +612,32 @@ def build_iteration_fn(cfg: IterConfig):
                     c, e = chi_eta_w(params, ai, ti, s0, s1)
                     segChi = segChi + c
                     segEta = segEta + e
+            if scaJ is not None:
+                segEta = segEta + scaJ[s0:s1][:, None, None, :]
             shape = (s1 - s0, Nmu, 2, Nk)
-            segsChi.append(jnp.broadcast_to(segChi, shape))
-            segsEta.append(jnp.broadcast_to(segEta, shape))
-        if padRows:
-            shape = (padRows, Nmu, 2, Nk)
+            segChi = jnp.broadcast_to(segChi, shape)
+            segEta = jnp.broadcast_to(segEta, shape)
+            if sweepPadded:
+                # direction-major kernel layout [2, rows, Nmu, NkL]:
+                # Mosaic block shapes must match the array in the last
+                # two dims, so the per-direction DMA picks axis 0
+                segChi = jnp.moveaxis(segChi, 2, 0)
+                segEta = jnp.moveaxis(segEta, 2, 0)
+                if lanePad:
+                    pads = ((0, 0), (0, 0), (0, 0), (0, lanePad))
+                    segChi = jnp.pad(segChi, pads, constant_values=one)
+                    segEta = jnp.pad(segEta, pads, constant_values=zero)
+            segsChi.append(segChi)
+            segsEta.append(segEta)
+        axis = 1 if sweepPadded else 0
+        tailRows = (LPadS - Nlam) if sweepPadded else padRows
+        if tailRows:
+            shape = ((2, tailRows, Nmu, NkLS) if sweepPadded
+                     else (tailRows, Nmu, 2, NkLS))
             segsChi.append(jnp.ones(shape, dt))
             segsEta.append(jnp.zeros(shape, dt))
-        chiTot = jnp.concatenate(segsChi, axis=0)
-        etaTot = jnp.concatenate(segsEta, axis=0)
+        chiTot = jnp.concatenate(segsChi, axis=axis)
+        etaTot = jnp.concatenate(segsEta, axis=axis)
         return chiTot, etaTot
 
     def fused_stage(params, JdagW):
@@ -749,6 +885,14 @@ def build_iteration_fn(cfg: IterConfig):
         T = params['temperature']
         height = params['height']
         NL = chiTot.shape[0]            # Nlam, or NlamPad (Pallas scheme)
+        if sweepPadded:
+            # gather emitted the direction-major kernel layout
+            # [2, LPadS, Nmu, NkLS]; BCs are computed on the true
+            # rows/lanes and padded inside formal_solve_sweep
+            NL = Nlam
+            chiAt = lambda d, k: chiTot[d, :Nlam, :, k]
+        else:
+            chiAt = lambda d, k: chiTot[:, :, d, k]
         lamG = lamGrid if NL == Nlam else lamGridF
 
         # down sweep (toObs=False, d=0): upper BC
@@ -759,7 +903,7 @@ def build_iteration_fn(cfg: IterConfig):
         elif cfg.upperThermalised:
             Bnu0 = planck_nu(T[0], lamG)
             Bnu1 = planck_nu(T[1], lamG)
-            dtau = (0.5 * (chiTot[:, :, 0, 0] + chiTot[:, :, 0, 1])
+            dtau = (0.5 * (chiAt(0, 0) + chiAt(0, 1))
                     * jnp.abs(height[0] - height[1]) / muz[None, :])
             Iupw_d = Bnu0[:, None] - (Bnu1[:, None] - Bnu0[:, None]) / dtau
         else:
@@ -773,7 +917,7 @@ def build_iteration_fn(cfg: IterConfig):
         elif cfg.lowerThermalised:
             BnuN = planck_nu(T[Nk - 1], lamG)
             BnuN1 = planck_nu(T[Nk - 2], lamG)
-            dtau = (0.5 * (chiTot[:, :, 1, Nk - 1] + chiTot[:, :, 1, Nk - 2])
+            dtau = (0.5 * (chiAt(1, Nk - 1) + chiAt(1, Nk - 2))
                     * jnp.abs(height[Nk - 1] - height[Nk - 2])
                     / muz[None, :])
             Iupw_u = BnuN[:, None] - (BnuN1[:, None] - BnuN[:, None]) / dtau
@@ -788,7 +932,9 @@ def build_iteration_fn(cfg: IterConfig):
             from .ops.pallas_sweep import formal_solve_sweep
             return formal_solve_sweep(chiTot, S, height, muz,
                                       Iupw_d.astype(dt), Iupw_u.astype(dt),
-                                      wmu=cfg.wmu)
+                                      wmu=cfg.wmu,
+                                      NkTrue=Nk if sweepPadded else None,
+                                      divideS=sweepPadded)
 
         muzB = jnp.broadcast_to(muz[None, :], (NL, Nmu)).reshape(-1)
         I_d, Psi_d, Ieffb_d = formal_sol_1d(
@@ -852,17 +998,39 @@ def build_iteration_fn(cfg: IterConfig):
             Jnew = (Jhi.astype(cfg.accumDtype)
                     + Jlo.astype(cfg.accumDtype))
         else:
-            chiTot, etaTot = gather(params)
             scaJ = params['bgSca'] * JdagW
-            if padRows:
-                scaJ = jnp.pad(scaJ, ((0, padRows), (0, 0)))
-            srcNum = etaTot + scaJ[:, None, None, :]
-            S = srcNum / chiTot
-            if cfg.Ndim == 2:
-                I, Psi, IeffBase = formal_solve_2d(params, chiTot, S)
-            else:
+            if sweepPadded:
+                # gather emits srcNum directly (scaJ folded per
+                # segment); the Mosaic sweep divides S in VMEM, so
+                # neither etaTot nor S is ever materialised
+                if slotGather:
+                    chiTot, srcNum = gather_slot(params, scaJ)
+                else:
+                    chiTot, srcNum = gather(params, scaJ)
+                etaTot = S = None
                 I, Psi, IeffBase, swMoments = formal_solve(
-                    params, chiTot, S)
+                    params, chiTot, srcNum)
+                # restore the [lambda, mu, +/-, depth] view for the
+                # (niche) dense-Gamma and depth-data consumers; XLA
+                # prunes these transposes on the factored default path
+                chiTot = jnp.moveaxis(chiTot, 0, 2)[:, :, :, :Nk]
+                srcNum = jnp.moveaxis(srcNum, 0, 2)[:, :, :, :Nk]
+                if swMoments is not None:
+                    swMoments = {
+                        k: (tuple(x[:Nlam] for x in v)
+                            if isinstance(v, tuple) else v[:Nlam])
+                        for k, v in swMoments.items()}
+            else:
+                chiTot, etaTot = gather(params)
+                if padRows:
+                    scaJ = jnp.pad(scaJ, ((0, padRows), (0, 0)))
+                srcNum = etaTot + scaJ[:, None, None, :]
+                S = srcNum / chiTot
+                if cfg.Ndim == 2:
+                    I, Psi, IeffBase = formal_solve_2d(params, chiTot, S)
+                else:
+                    I, Psi, IeffBase, swMoments = formal_solve(
+                        params, chiTot, S)
             if lambdaIterate:
                 Psi = jnp.zeros_like(Psi)
                 IeffBase = I
@@ -1368,6 +1536,12 @@ def build_iteration_fn(cfg: IterConfig):
                 # the fused kernel never materialises chi/eta; rebuild
                 # them densely for the (debug-only) capture
                 chiTot, etaTot = gather(params)
+            elif etaTot is None:
+                # sweep path: gather emitted srcNum; recover eta for
+                # the (debug-only) capture (f32 subtract round-off vs
+                # a direct materialisation is below capture needs)
+                etaTot = srcNum[:Nlam] - (params['bgSca']
+                                          * JdagW)[:, None, None, :]
             out['depthChi'] = chiTot[:Nlam]
             out['depthEta'] = etaTot[:Nlam]
             out['depthI'] = I[:Nlam]

@@ -53,7 +53,12 @@ from .formal_solver import bezier3_coeffs, cent_deriv, w2
 
 _Z = np.int32(0)
 
-RB = 8            # lambda rows per grid step
+# lambda rows per grid step.  8 keeps per-block VMEM minimal; larger
+# blocks amortise per-block scheduling and give the VPU more rows per
+# op (LW_SWEEP_RB env knob for on-chip racing).
+import os
+
+RB = int(os.environ.get('LW_SWEEP_RB', '8'))
 
 
 def _interpret_mode():
@@ -189,6 +194,7 @@ def _two_sum(hi, lo, term):
 
 
 def _sweep_kernel(N: int, dt, NkL: int, dirn: int, wmuHalf,
+                  divideS: bool,
                   ds_ref, invmu_ref, iupw_ref, chi_ref, s_ref,
                   i_ref, psi_ref, ieffb_ref,
                   jhi_ref, jlo_ref, psibar_ref, ibar_ref, isbar_ref):
@@ -214,6 +220,18 @@ def _sweep_kernel(N: int, dt, NkL: int, dirn: int, wmuHalf,
 
     chi = chi_ref[:]
     S = s_ref[:]
+    if chi.ndim == 4:
+        # direction axis selected by the BlockSpec index map (size-1
+        # leading block): the kernel DMAs the d-slice straight out of
+        # the direction-major [2, LPad, M, NkL] gather output, so no
+        # host-side slice copy (Mosaic requires the LAST TWO block dims
+        # to equal the array dims, hence direction-major)
+        chi = jnp.reshape(chi, (RB, M, NkL))
+        S = jnp.reshape(S, (RB, M, NkL))
+    if divideS:
+        # caller passed srcNum (eta + sca*J): neither etaTot nor S is
+        # ever materialised in HBM; the division happens here in VMEM
+        S = S / chi
     # explicit slice+reshape: mixed None/slice jnp indexing lowers to a
     # gather Mosaic rejects
     invmu = jnp.reshape(jax.lax.slice(invmu_ref[:], (0, 0), (M, 1)),
@@ -253,11 +271,25 @@ def _sweep_kernel(N: int, dt, NkL: int, dirn: int, wmuHalf,
     isbar_ref[:] = isbar
 
 
-def _sweep_dir(chi, S, dsLane, invmu, Iupw, N: int, dirn: int, wmuHalf):
-    """One direction on native-layout [LPad, M, NkL] data."""
-    LPad, M, NkL = chi.shape
+def _sweep_dir(chi, S, dsLane, invmu, Iupw, N: int, dirn: int, wmuHalf,
+               d: int = None, divideS: bool = False):
+    """One direction on native-layout [LPad, M, NkL] data, or (when
+    ``d`` is given) directly on the direction-major [2, LPad, M, NkL]
+    gather output with the direction picked by the BlockSpec index
+    map."""
+    if d is None:
+        LPad, M, NkL = chi.shape
+    else:
+        _two, LPad, M, NkL = chi.shape
     dt = chi.dtype
-    kernel = partial(_sweep_kernel, N, dt, NkL, dirn, wmuHalf)
+    kernel = partial(_sweep_kernel, N, dt, NkL, dirn, wmuHalf, divideS)
+    dz = np.int32(d) if d is not None else None
+    if d is None:
+        rayIn = pl.BlockSpec((RB, M, NkL), lambda i: (i, _Z, _Z),
+                             memory_space=pltpu.VMEM)
+    else:
+        rayIn = pl.BlockSpec((1, RB, M, NkL), lambda i: (dz, i, _Z, _Z),
+                             memory_space=pltpu.VMEM)
     ray = pl.BlockSpec((RB, M, NkL), lambda i: (i, _Z, _Z),
                        memory_space=pltpu.VMEM)
     row = pl.BlockSpec((RB, NkL), lambda i: (i, _Z),
@@ -272,8 +304,8 @@ def _sweep_dir(chi, S, dsLane, invmu, Iupw, N: int, dirn: int, wmuHalf):
                          memory_space=pltpu.VMEM),       # invmu
             pl.BlockSpec((RB, M), lambda i: (i, _Z),
                          memory_space=pltpu.VMEM),       # Iupw
-            ray,                                         # chi
-            ray,                                         # S
+            rayIn,                                       # chi
+            rayIn,                                       # S
         ],
         out_specs=[ray, ray, ray, row, row, row, row, row],
         out_shape=([jax.ShapeDtypeStruct((LPad, M, NkL), dt)] * 3
@@ -282,23 +314,40 @@ def _sweep_dir(chi, S, dsLane, invmu, Iupw, N: int, dirn: int, wmuHalf):
     )(dsLane, invmu, Iupw, chi, S)
 
 
-def formal_solve_sweep(chi, S, height, muz, IupwD, IupwU, wmu=None):
+def formal_solve_sweep(chi, S, height, muz, IupwD, IupwU, wmu=None,
+                       NkTrue=None, divideS=False):
     """Drop-in for the 1D XLA formal solve at the iteration level.
 
-    chi, S: [NL, Nmu, 2, Nk] (d=0 down/toObs=False, d=1 up).
-    height [Nk]; muz [Nmu]; IupwD/IupwU: [NL, Nmu] boundary intensities.
-    Returns (I, Psi, IeffBase) in the same [NL, Nmu, 2, Nk] layout,
-    plus the in-kernel angular moments as a dict: 'Jhi'/'Jlo' (the
-    TwoSum f32 J pair, already combined across directions lossleessly
-    as two pairs -> evaluate Jhi + Jlo in the accumulation dtype) and
-    working-dtype 'PsiBar'/'IBar'/'IeffSrcBar' [NL, Nk].  ``wmu`` is
-    the angular quadrature weight vector (moments use wmu/2).
+    chi, S: [NL, Nmu, 2, Nk] (d=0 down/toObs=False, d=1 up).  When the
+    caller already built them in the DIRECTION-MAJOR kernel layout
+    [2, LPad, Nmu, NkL] (rows padded to an RB multiple with chi = 1,
+    depth lanes padded to a 128 multiple with chi = 1 / S = 0 — see
+    context.gather's sweep-layout branch, which avoids a full pad-copy
+    pass over both ray tensors), pass the TRUE depth count as
+    ``NkTrue``; outputs are trimmed to [LPad, Nmu, 2, NkTrue] rows-
+    padded (the iteration slices rows as needed).
+    height [NkTrue]; muz [Nmu]; IupwD/IupwU: [NL, Nmu] boundary
+    intensities.
+    Returns (I, Psi, IeffBase) in the trimmed layout, plus the
+    in-kernel angular moments as a dict: 'Jhi'/'Jlo' (the TwoSum f32 J
+    pair, already combined across directions losslessly as two pairs ->
+    evaluate Jhi + Jlo in the accumulation dtype) and working-dtype
+    'PsiBar'/'IBar'/'IeffSrcBar' [NL, NkTrue].  ``wmu`` is the angular
+    quadrature weight vector (moments use wmu/2).
     """
-    NL, Nmu, _, Nk = chi.shape
+    prePadded = NkTrue is not None
+    if prePadded:
+        # direction-major kernel layout from the sweep-path gather
+        _two, NL, Nmu, NkIn = chi.shape
+    else:
+        NL, Nmu, _, NkIn = chi.shape
+    Nk = NkIn if NkTrue is None else int(NkTrue)
     dt = chi.dtype
     M = Nmu
-    NkL = -(-Nk // 128) * 128
+    NkL = -(-NkIn // 128) * 128
     LPad = -(-NL // RB) * RB
+    if prePadded:
+        assert NkIn == NkL and NL == LPad
     wmuHalf = tuple(float(0.5 * w) for w in np.asarray(wmu))
 
     h = jnp.asarray(height, dt)
@@ -312,13 +361,21 @@ def formal_solve_sweep(chi, S, height, muz, IupwD, IupwU, wmu=None):
         return jnp.pad(x[:, :, d], ((0, LPad - NL), (0, 0), (0, NkL - Nk)),
                        constant_values=jnp.asarray(padVal, dt))
 
+    NLOut = NL
     outs = []
     for d, dirn, Iupw in ((0, 1, IupwD), (1, -1, IupwU)):
-        bc = jnp.pad(Iupw.astype(dt), ((0, LPad - NL), (0, 0)))
-        res = _sweep_dir(prep(chi, d, 1.0), prep(S, d, 0.0),
-                         dsLane, invmu, bc, Nk, dirn, wmuHalf)
-        outs.append(tuple(r[:NL, :, :Nk] for r in res[:3])
-                    + tuple(r[:NL, :Nk] for r in res[3:]))
+        bc = Iupw.astype(dt)
+        if bc.shape[0] != LPad:
+            bc = jnp.pad(bc, ((0, LPad - bc.shape[0]), (0, 0)))
+        if prePadded:
+            # the kernel DMAs the d-slice out of the 4D tensors itself
+            res = _sweep_dir(chi, S, dsLane, invmu, bc, Nk, dirn,
+                             wmuHalf, d=d, divideS=divideS)
+        else:
+            res = _sweep_dir(prep(chi, d, 1.0), prep(S, d, 0.0),
+                             dsLane, invmu, bc, Nk, dirn, wmuHalf)
+        outs.append(tuple(r[:NLOut, :, :Nk] for r in res[:3])
+                    + tuple(r[:NLOut, :Nk] for r in res[3:]))
 
     I = jnp.stack([outs[0][0], outs[1][0]], axis=2)
     Psi = jnp.stack([outs[0][1], outs[1][1]], axis=2)

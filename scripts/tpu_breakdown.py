@@ -70,8 +70,12 @@ def breakdown(tag, ctx, accumDtype=None):
     def _gfs(p):
         p = _cast_params_to_working(p, cfg.dtype)
         chiTot, etaTot = it.gather(p)
-        srcNum = (etaTot + p['bgSca'][:, None, None, :]
-                  * p['J'].astype(cfg.dtype)[:, None, None, :])
+        scaJ = p['bgSca'] * p['J'].astype(cfg.dtype)
+        # the sweep-layout gather emits padded rows/lanes
+        if scaJ.shape != (chiTot.shape[0], chiTot.shape[3]):
+            scaJ = jnp.pad(scaJ, ((0, chiTot.shape[0] - scaJ.shape[0]),
+                                  (0, chiTot.shape[3] - scaJ.shape[1])))
+        srcNum = etaTot + scaJ[:, None, None, :]
         S = srcNum / chiTot
         return it.formal_solve(p, chiTot, S)
     gfs = jax.jit(_gfs)
@@ -124,21 +128,43 @@ def breakdown_scheme(tag, ctx, scheme):
     report(f'{tag}:full', 1e3 * t)
 
 
+def run_tag(tag):
+    """One breakdown tag (so a driver can subprocess each with a
+    timeout: large fresh remote compiles through the axon tunnel
+    occasionally hang forever)."""
+    if tag == 'mixed':
+        # the XLA general path ('parallel' recurrence, exact accum)
+        breakdown('mixed', prepared_ctx(dtype=jnp.float32, fast=False))
+    elif tag == 'pallas_blocked':
+        # the shipped fast path (bench.py default on TPU): fused Pallas
+        # depth sweep + blocked Gamma/rate lambda accumulation
+        breakdown('pallas_blocked', prepared_ctx(dtype=jnp.float32,
+                                                 fast=True))
+    elif tag == 'f32accum':
+        # f32 accumulation (numerics would stall in production; this
+        # isolates the cost of the f64-emulated contractions)
+        breakdown('f32accum', prepared_ctx(dtype=jnp.float32, fast=False),
+                  accumDtype=jnp.float32)
+    elif tag == 'mixed_fused':
+        # the fused lambda-step scheme (assembly+FS+J in one kernel)
+        breakdown_scheme('mixed_fused',
+                         prepared_ctx(dtype=jnp.float32, fast=True),
+                         'mali_full_precond_fused')
+    elif tag == 'mixed_pallas':
+        # the fused Pallas Gamma scheme at the benched mixed precision
+        breakdown_scheme('mixed_pallas',
+                         prepared_ctx(dtype=jnp.float32, fast=False),
+                         'mali_full_precond_pallas')
+    elif tag == 'f64':
+        breakdown('f64', prepared_ctx(dtype=jnp.float64))
+    else:
+        raise ValueError(tag)
+
+
+ALL_TAGS = ['pallas_blocked', 'mixed', 'f32accum', 'mixed_fused',
+            'mixed_pallas', 'f64']
+
 if __name__ == '__main__':
     print(json.dumps({'device': str(jax.devices()[0])}), flush=True)
-    # the XLA general path ('parallel' recurrence, exact Gamma accum)
-    ctxMixed = prepared_ctx(dtype=jnp.float32, fast=False)
-    breakdown('mixed', ctxMixed)
-    # the shipped fast path (bench.py default on TPU): fused Pallas
-    # depth sweep + blocked Gamma/rate lambda accumulation
-    ctxFast = prepared_ctx(dtype=jnp.float32, fast=True)
-    breakdown('pallas_blocked', ctxFast)
-    # f32 accumulation (numerics would stall in production; this isolates
-    # the cost of the f64-emulated accumulation contractions)
-    breakdown('f32accum', ctxMixed, accumDtype=jnp.float32)
-    # the fused lambda-step scheme (assembly+FS+J in one Mosaic kernel)
-    breakdown_scheme('mixed_fused', ctxFast, 'mali_full_precond_fused')
-    # the fused Pallas Gamma scheme at the benched mixed precision
-    breakdown_scheme('mixed_pallas', ctxMixed, 'mali_full_precond_pallas')
-    ctx64 = prepared_ctx(dtype=jnp.float64)
-    breakdown('f64', ctx64)
+    for tag in (sys.argv[1:] or ALL_TAGS):
+        run_tag(tag)
