@@ -2245,22 +2245,62 @@ class Context:
 
         dPops = []
         accelerated = False
-        for ai, st in enumerate(self.popsState):
-            nNew = st['n']
-            nHost = np.asarray(nNew)
-            if not np.all(np.isfinite(nHost)):
-                from .utils import ExplodingMatrixError
-                name = self.cfg.activeAtoms[ai].model.element.name
-                raise ExplodingMatrixError(
-                    f'Non-finite populations for atom {name} after the '
-                    'statistical-equilibrium solve (singular Gamma '
-                    'matrix)')
-            accel, sol = self.ngs[ai].accelerate(nHost)
-            if accel:
-                nNew = jnp.asarray(sol.reshape(nNew.shape), self.dtype)
-                accelerated = True
-            dPops.append(self.ngs[ai].max_change())
-            st['n'] = nNew
+        ngActive = any(ng.Norder > 0 for ng in self.ngs)
+        if ngActive or self.conserveCharge:
+            # host path: Ng extrapolation / NR coupling need the
+            # populations on the host every iteration
+            for ai, st in enumerate(self.popsState):
+                nNew = st['n']
+                nHost = np.asarray(nNew)
+                if not np.all(np.isfinite(nHost)):
+                    from .utils import ExplodingMatrixError
+                    name = self.cfg.activeAtoms[ai].model.element.name
+                    raise ExplodingMatrixError(
+                        f'Non-finite populations for atom {name} after '
+                        'the statistical-equilibrium solve (singular '
+                        'Gamma matrix)')
+                accel, sol = self.ngs[ai].accelerate(nHost)
+                if accel:
+                    nNew = jnp.asarray(sol.reshape(nNew.shape),
+                                       self.dtype)
+                    accelerated = True
+                dPops.append(self.ngs[ai].max_change())
+                st['n'] = nNew
+        else:
+            # single-pull path: every device->host fetch through the
+            # axon tunnel costs ~30 ms (measured round 5: a [6, 82]
+            # pull is 27 ms; the solve itself 2.5 ms), so per-atom
+            # pops pulls dominated convergence wall time.  Compute the
+            # max-change and finite flags on device, fetch ONE packed
+            # vector.  Semantics match Ng.max_change exactly: 0.0
+            # until two post-solve solutions exist, then
+            # max |(cur - old)/cur| over cur != 0.
+            flags = []
+            for ai, st in enumerate(self.popsState):
+                nNew = st['n']
+                nOld = st.get('nLastSE')
+                if nOld is None:
+                    dp = jnp.zeros((), jnp.float64)
+                else:
+                    mask = nNew != 0.0
+                    dp = jnp.max(jnp.where(
+                        mask, jnp.abs((nNew - nOld)
+                                      / jnp.where(mask, nNew, 1.0)),
+                        0.0))
+                flags.append(dp.astype(jnp.float64))
+                flags.append(jnp.all(jnp.isfinite(nNew))
+                             .astype(jnp.float64))
+                st['nLastSE'] = nNew
+            vals = np.asarray(jnp.stack(flags))
+            for ai in range(len(self.popsState)):
+                if vals[2 * ai + 1] == 0.0:
+                    from .utils import ExplodingMatrixError
+                    name = self.cfg.activeAtoms[ai].model.element.name
+                    raise ExplodingMatrixError(
+                        f'Non-finite populations for atom {name} after '
+                        'the statistical-equilibrium solve (singular '
+                        'Gamma matrix)')
+                dPops.append(float(vals[2 * ai]))
         upd = IterationUpdate(self, updatedPops=True, dPops=dPops,
                               ngAccelerated=accelerated)
         if dNeMax is not None:
@@ -2603,7 +2643,20 @@ class Context:
                   [st['n'] for st in self.popsState],
                   jnp.asarray(1.0, dtc), jnp.asarray(1.0, dtc),
                   hists0, cnt0, self.rhoPrd, JRest0)
-        runner = jax.jit(lambda s: jax.lax.while_loop(cond, body, s))
+        # cache the compiled loop per option set: re-jitting every call
+        # costs a full re-trace plus a remote compile-cache round trip
+        # (~minutes for the f64 program through the axon tunnel).  The
+        # cache is dropped wherever the baked baseParams would go stale
+        # (update_deps/_swap_cfg set self._params = None).
+        key = (NmaxIter, Nscatter, JTol, popsTol, No, Np, Nd,
+               bool(prdLines), maxPrdSubIter, prdTol)
+        cache = getattr(self, '_odRunnerCache', None)
+        if cache is None or cache[0] != key or self._params is None:
+            runner = jax.jit(lambda s: jax.lax.while_loop(cond, body, s))
+            self._odRunnerCache = (key, runner)
+            self._params = baseParams
+        else:
+            runner = self._odRunnerCache[1]
         stateF = runner(state0)
         it, J, pops, dJ, dPops = stateF[:5]
         if prdLines:
@@ -3178,8 +3231,10 @@ class Context:
             self._configure_hprd_coeffs()
         # the cached params pytree holds references to the old
         # background/profile/thermodynamic arrays -- rebuild it on the
-        # next iteration call
+        # next iteration call (and drop the on-device loop whose body
+        # baked them in)
         self._params = None
+        self._odRunnerCache = None
 
     # ------------------------------------------------------------------
     def state_dict(self) -> Dict:
@@ -3315,6 +3370,7 @@ class Context:
         self._iter_fn = None
         self._prd_fs_fn = None
         self._params = None
+        self._odRunnerCache = None
 
     def set_formal_solver(self, name: str):
         """Select the formal solver by registry name, re-tracing the

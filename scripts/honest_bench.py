@@ -32,13 +32,36 @@ def log(**kw):
     print(json.dumps(kw), flush=True)
 
 
-def bench_ms(dtype, gammaAccum='exact', nIter=50, fast=False):
-    from bench import build_ctx, time_iterations
-    ctx = build_ctx(dtype=dtype, fast=fast)
-    if gammaAccum != 'exact' and not fast:
-        ctx._swap_cfg(gammaAccum=gammaAccum)
-    wall = time_iterations(ctx, nIter=nIter)
-    return wall / nIter * 1e3
+def bench_ms_interleaved(specs, nIter=50, rounds=3):
+    """Time all stage-A configurations INTERLEAVED: the axon chip is
+    shared and drifts up to ~2x on minute timescales, so sequential
+    per-config timing tells a false relative story; alternating
+    50-iteration blocks exposes every config to the same drift.
+    Returns {tag: best ms/iter}."""
+    import time
+
+    import jax
+
+    from bench import build_ctx
+    ctxs = {}
+    for tag, dtype, acc, fast in specs:
+        ctx = build_ctx(dtype=dtype, fast=fast)
+        if acc != 'exact' and not fast:
+            ctx._swap_cfg(gammaAccum=acc)
+        for _ in range(2):                      # warm compile + pipeline
+            ctx.formal_sol_gamma_matrices()
+        jax.block_until_ready(ctx.J)
+        ctxs[tag] = ctx
+    best = {tag: float('inf') for tag in ctxs}
+    for _ in range(rounds):
+        for tag, ctx in ctxs.items():
+            t0 = time.perf_counter()
+            for _ in range(nIter):
+                ctx.formal_sol_gamma_matrices()
+            jax.block_until_ready(ctx.J)
+            best[tag] = min(best[tag],
+                            (time.perf_counter() - t0) / nIter * 1e3)
+    return best
 
 
 def converge_falc(dtype, fast=False):
@@ -63,8 +86,41 @@ def converge_falc(dtype, fast=False):
     return wall, int(nIter)
 
 
+def converge_falc_on_device(dtype, fast=False):
+    import lightweaver_tpu as lw
+    from lightweaver_tpu.rh_atoms import CaII_atom, H_6_atom
+    atmos = lw.Falc82()
+    atmos.quadrature(5)
+    rs = lw.RadiativeSet([H_6_atom(), CaII_atom()])
+    rs.set_active('H', 'Ca')
+    spect = rs.compute_wavelength_grid()
+    kw = (dict(recurrenceMode='pallas', gammaAccum='blocked') if fast
+          else {})
+    ctx = lw.Context(atmos, spect, rs.compute_eq_pops(atmos),
+                     dtype=dtype, **kw)
+    # warm the compiled loop on THIS context (a fresh Context owns a
+    # fresh jit, so even a cache-hit "compile" costs remote-tunnel
+    # minutes), snapshot -> warm -> restore -> time
+    import jax
+    J0 = jnp.array(ctx.J)
+    n0 = [jnp.array(st['n']) for st in ctx.popsState]
+    ctx.iterate_on_device(NmaxIter=500)
+    ctx.J = J0
+    for st, n in zip(ctx.popsState, n0):
+        st['n'] = n
+        st.pop('nLastSE', None)
+    jax.block_until_ready(ctx.J)
+    t0 = time.perf_counter()
+    nIter, dJ, dPops = ctx.iterate_on_device(NmaxIter=500)
+    wall = time.perf_counter() - t0
+    return wall, int(nIter)
+
+
 def main():
+    stages = set(sys.argv[1:]) or {'A', 'B', 'OD'}
     dev = jax.devices()[0]
+    prev = Path(__file__).parent.parent / 'BENCH_HONEST_r05.json'
+    merged = json.loads(prev.read_text()) if prev.exists() else {}
     out = {'device': str(dev),
            'problemA': 'FALC-500 H6+CaII 5 rays Nlam=1046, 50 iters',
            'problemB': 'FAL-C 82-pt H6+CaII 5 rays, iterate_ctx_se '
@@ -82,27 +138,52 @@ def main():
                                      'intact, test_gamma_accum.py); '
                                      'opt-in performance mode',
            }}
-    for tag, dtype, acc, fast in (
-            ('f64', None, 'exact', False),
-            ('mixed', jnp.float32, 'exact', False),
-            ('mixed_blockedGamma', jnp.float32, 'blocked', False),
-            ('fast_pallas_blocked', jnp.float32, 'blocked', True)):
+    # merge previously captured sections when re-running a subset
+    for k in ('ms_per_iter', 'falc_converged', 'timing_note'):
+        if k in merged:
+            out[k] = merged[k]
+    specs = (('f64', None, 'exact', False),
+             ('mixed', jnp.float32, 'exact', False),
+             ('mixed_blockedGamma', jnp.float32, 'blocked', False),
+             ('fast_pallas_blocked', jnp.float32, 'blocked', True))
+    if 'A' in stages:
         try:
-            ms = bench_ms(dtype, acc, fast=fast)
-            out.setdefault('ms_per_iter', {})[tag] = round(ms, 3)
-            log(stage='A', tag=tag, ms_per_iter=round(ms, 3))
+            best = bench_ms_interleaved(specs)
+            out['ms_per_iter'] = {t: round(v, 3) for t, v in best.items()}
+            out['timing_note'] = ('interleaved 50-iteration blocks, best '
+                                  'of 3 rounds per config (shared chip '
+                                  'drifts up to ~2x on minute timescales)')
+            for t, v in best.items():
+                log(stage='A', tag=t, ms_per_iter=round(v, 3))
         except Exception as e:
-            log(stage='A', tag=tag, error=repr(e)[:300])
-    for tag, dtype, fast in (('f64', None, False),
-                             ('mixed', jnp.float32, False),
-                             ('fast_pallas_blocked', jnp.float32, True)):
-        try:
-            wall, iters = converge_falc(dtype, fast=fast)
-            out.setdefault('falc_converged', {})[tag] = {
-                'wall_s': round(wall, 2), 'iterations': iters}
-            log(stage='B', tag=tag, wall_s=round(wall, 2), iters=iters)
-        except Exception as e:
-            log(stage='B', tag=tag, error=repr(e)[:300])
+            log(stage='A', error=repr(e)[:300])
+    if 'B' in stages:
+        for tag, dtype, fast in (('f64', None, False),
+                                 ('mixed', jnp.float32, False),
+                                 ('fast_pallas_blocked', jnp.float32,
+                                  True)):
+            try:
+                wall, iters = converge_falc(dtype, fast=fast)
+                out.setdefault('falc_converged', {})[tag] = {
+                    'wall_s': round(wall, 2), 'iterations': iters}
+                log(stage='B', tag=tag, wall_s=round(wall, 2),
+                    iters=iters)
+            except Exception as e:
+                log(stage='B', tag=tag, error=repr(e)[:300])
+    if 'OD' in stages:
+        # the TPU-native loop: the whole convergence iteration as ONE
+        # lax.while_loop dispatch (zero device->host fetches; the host
+        # loop above pays ~30 ms of axon-tunnel latency per fetch)
+        for tag, dtype, fast in (('f64_on_device', None, False),
+                                 ('fast_on_device', jnp.float32, True)):
+            try:
+                wall, iters = converge_falc_on_device(dtype, fast=fast)
+                out.setdefault('falc_converged', {})[tag] = {
+                    'wall_s': round(wall, 2), 'iterations': iters}
+                log(stage='B', tag=tag, wall_s=round(wall, 2),
+                    iters=iters)
+            except Exception as e:
+                log(stage='B', tag=tag, error=repr(e)[:300])
     p = Path(__file__).parent.parent / 'BENCH_HONEST_r05.json'
     p.write_text(json.dumps(out, indent=1))
     log(wrote=str(p))
