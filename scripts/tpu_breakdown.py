@@ -69,13 +69,14 @@ def breakdown(tag, ctx, accumDtype=None):
 
     def _gfs(p):
         p = _cast_params_to_working(p, cfg.dtype)
-        chiTot, etaTot = it.gather(p)
         scaJ = p['bgSca'] * p['J'].astype(cfg.dtype)
-        # the sweep-layout gather emits padded rows/lanes
-        if scaJ.shape != (chiTot.shape[0], chiTot.shape[3]):
-            scaJ = jnp.pad(scaJ, ((0, chiTot.shape[0] - scaJ.shape[0]),
-                                  (0, chiTot.shape[3] - scaJ.shape[1])))
-        srcNum = etaTot + scaJ[:, None, None, :]
+        # scaJ folded into the gather per segment (round 5): the second
+        # return IS srcNum in either layout
+        chiTot, srcNum = it.gather(p, scaJ)
+        if chiTot.ndim == 4 and chiTot.shape[0] == 2:
+            # direction-major sweep layout [2, LPad, Nmu, NkL]: the
+            # Mosaic sweep divides S = srcNum/chi in VMEM
+            return it.formal_solve(p, chiTot, srcNum)
         S = srcNum / chiTot
         return it.formal_solve(p, chiTot, S)
     gfs = jax.jit(_gfs)
