@@ -92,6 +92,17 @@ def build_ctx(Nspace=500, Nrays=5, dtype=None, fast=True):
     return ctx
 
 
+def build_fused_ctx(dtype):
+    """The fused Mosaic lambda-step scheme (assembly + formal solve +
+    J/moments in one kernel, ops/pallas_fused.py) on top of the fast
+    path. Round 4 it lost to the plain sweep (3.36 vs 2.62 ms); the
+    round-5 gather/srcNum restructure brought it to 2.17 ms on the
+    breakdown capture, so the race decides on the driver's chip."""
+    ctx = build_ctx(dtype=dtype, fast=True)
+    ctx.set_fs_iter_scheme('mali_full_precond_fused')
+    return ctx
+
+
 def build_xla_blocked_ctx(dtype):
     """The best pure-XLA configuration ('parallel' recurrence + blocked
     Gamma accumulation) — raced against the Mosaic fast path because
@@ -206,6 +217,10 @@ def main():
         # flips which one wins (see build_xla_blocked_ctx)
         ctxs = {'pallas+blocked': ctx,
                 'xla-parallel+blocked': build_xla_blocked_ctx(dtype)}
+        try:
+            ctxs['fused+blocked'] = build_fused_ctx(dtype)
+        except Exception as e:  # pragma: no cover - config-dependent
+            print(f'# fused scheme unavailable ({e!r})', flush=True)
         raced = race_iterations(ctxs, nIter=nIter)
         winner = min(raced, key=raced.get)
         ctx = ctxs[winner]
@@ -246,11 +261,13 @@ def main():
         'device': str(dev),
         'config': 'FALC-500, H6+CaII, 5 rays, Nlam=%d, 50 iters, '
                   'state=%s accum=%s recurrence=%s gammaAccum=%s '
-                  'raced-winner=%s'
+                  'scheme=%s raced-winner=%s'
                   % (ctx.cfg.Nlam, np.dtype(ctx.dtype).name,
                      np.dtype(ctx.accumDtype).name,
                      ctx.cfg.recurrenceMode,
-                     getattr(ctx.cfg, 'gammaAccum', 'exact'), winner),
+                     getattr(ctx.cfg, 'gammaAccum', 'exact'),
+                     getattr(ctx.cfg, 'fsIterScheme',
+                             'mali_full_precond'), winner),
         'wall_s_per_iter': wall / nIter,
     }))
 
